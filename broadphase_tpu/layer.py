@@ -1,0 +1,329 @@
+"""The Layer engine: device-resident broadphase state + its kernels.
+
+TPU-native rebuild of the reference's ``Layer`` (``src/layer.rs:42-68``).
+A layer is a fixed-capacity structure-of-arrays in HBM:
+
+    keys     : Morton spatial keys (uint32, or U64 uint32 pairs)
+    ids      : uint32 object ids
+    count    : live element count (int32 scalar)
+    sorted   : device bool
+    min_depth: u32 scalar (partitioning knob, src/layer.rs:640-646)
+
+Variable-length results (the reference's growable Vecs) become
+fixed-capacity buffers + counts + overflow flags — the standard static-shape
+contract for XLA.  Unused slots hold all-ones pad keys that sort after every
+valid key.
+
+The sequential stack sweep ``scan_impl`` (``src/layer.rs:550-573``) is
+restructured into a data-parallel two-pass segmented range expansion (see
+:func:`scan`): in Morton order every element's collision partners are exactly
+the contiguous run of its descendants-or-equals, so one vectorized upper-bound
+search per element replaces the stack, and a prefix-sum + gather replaces the
+emission loop.  Output is bit-identical to the reference's
+post-``sort+dedup`` pair list.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import geom, index as bidx
+from .index import IndexSpec, Key
+from .ops import search
+from .ops.u64 import U64
+
+PAD_ID = jnp.uint32(0xFFFF_FFFF)
+
+
+class LayerState(NamedTuple):
+    """Device-resident layer state (a pytree; `spec` travels separately)."""
+
+    keys: Key                # (cap,) uint32 or U64
+    ids: jnp.ndarray         # (cap,) uint32
+    count: jnp.ndarray       # () int32
+    sorted: jnp.ndarray      # () bool
+    min_depth: jnp.ndarray   # () uint32
+    invalid_count: jnp.ndarray  # () int32: objects dropped by bounds check
+    overflow: jnp.ndarray    # () bool: capacity or cell-slot overflow
+
+
+class ScanResult(NamedTuple):
+    pairs_a: jnp.ndarray     # (pair_cap,) uint32, PAD_ID beyond count
+    pairs_b: jnp.ndarray     # (pair_cap,) uint32
+    count: jnp.ndarray       # () int32
+    overflow: jnp.ndarray    # () bool
+
+
+class TestResult(NamedTuple):
+    ids: jnp.ndarray         # (result_cap,) uint32, PAD_ID beyond count
+    count: jnp.ndarray       # () int32
+    overflow: jnp.ndarray    # () bool
+
+
+# ---------------------------------------------------------------------------
+# Construction
+# ---------------------------------------------------------------------------
+
+def make_layer(spec: IndexSpec, capacity: int, min_depth: int = 0) -> LayerState:
+    return LayerState(
+        keys=spec.pad_key((capacity,)),
+        ids=jnp.full((capacity,), PAD_ID, dtype=jnp.uint32),
+        count=jnp.int32(0),
+        sorted=jnp.bool_(True),
+        min_depth=jnp.uint32(min_depth),
+        invalid_count=jnp.int32(0),
+        overflow=jnp.bool_(False),
+    )
+
+
+def capacity_of(state: LayerState) -> int:
+    return state.ids.shape[0]
+
+
+def clear(state: LayerState) -> LayerState:
+    """Reset to empty (reference ``src/layer.rs:84-88``); pads restored lazily
+    by extend's scatter, so just reset the count/flags."""
+    cap = capacity_of(state)
+    if isinstance(state.keys, U64):
+        pad = U64(jnp.full((cap,), 0xFFFF_FFFF, jnp.uint32),
+                  jnp.full((cap,), 0xFFFF_FFFF, jnp.uint32))
+    else:
+        pad = jnp.full((cap,), 0xFFFF_FFFF, jnp.uint32)
+    return state._replace(
+        keys=pad,
+        ids=jnp.full((cap,), PAD_ID, jnp.uint32),
+        count=jnp.int32(0),
+        sorted=jnp.bool_(True),
+        invalid_count=jnp.int32(0),
+        overflow=jnp.bool_(False),
+    )
+
+
+# ---------------------------------------------------------------------------
+# extend — Pallas-fusable quantize + Morton + masked emission + compaction
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 7))
+def extend(spec: IndexSpec, state: LayerState,
+           system_min, system_max,
+           bounds_min, bounds_max, ids,
+           slots_per_axis: int = 2) -> LayerState:
+    """Append a batch of objects (reference ``src/layer.rs:94-121``).
+
+    bounds_min/bounds_max: (N, dim) f32; ids: (N,) uint32.  Objects not
+    contained by the system bounds are counted in ``invalid_count`` and
+    dropped (the reference pushes them to a private ``invalid`` vec that is
+    never exposed, ``src/layer.rs:108-111``).
+    """
+    system_min = jnp.asarray(system_min, jnp.float32)
+    system_max = jnp.asarray(system_max, jnp.float32)
+    bounds_min = jnp.asarray(bounds_min, jnp.float32)
+    bounds_max = jnp.asarray(bounds_max, jnp.float32)
+    ids = jnp.asarray(ids, jnp.uint32)
+    n = ids.shape[0]
+    cap = capacity_of(state)
+
+    contained = geom.bounds_contains(system_min, system_max,
+                                     bounds_min, bounds_max)      # (N,)
+    lmin = geom.to_local(system_min, system_max, bounds_min)       # (N, dim)
+    lmax = geom.to_local(system_min, system_max, bounds_max)
+
+    keys, valid, cell_ovf = geom.emit_cells(
+        spec, lmin, lmax, state.min_depth, slots_per_axis)         # (N,S)
+    valid = valid & contained[:, None]
+    cell_ovf = cell_ovf & contained
+
+    S = valid.shape[1]
+    flat_valid = valid.reshape(n * S)
+    flat_ids = jnp.broadcast_to(ids[:, None], (n, S)).reshape(n * S)
+
+    # stable stream compaction: object-major, x-fastest slot order — the
+    # exact append order of the reference's sequential loop
+    offsets = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
+    dest = state.count + offsets
+    dest = jnp.where(flat_valid & (dest < cap), dest, cap)         # drop lane
+
+    new_ids = state.ids.at[dest].set(flat_ids, mode="drop")
+    if spec.bits == 32:
+        flat_keys = keys.reshape(n * S)
+        new_keys = state.keys.at[dest].set(flat_keys, mode="drop")
+    else:
+        new_keys = U64(
+            state.keys.hi.at[dest].set(keys.hi.reshape(n * S), mode="drop"),
+            state.keys.lo.at[dest].set(keys.lo.reshape(n * S), mode="drop"),
+        )
+
+    appended = jnp.sum(flat_valid.astype(jnp.int32))
+    new_count = state.count + appended
+    overflow = state.overflow | (new_count > cap) | jnp.any(cell_ovf)
+    return state._replace(
+        keys=new_keys,
+        ids=new_ids,
+        count=jnp.minimum(new_count, cap),
+        sorted=state.sorted & (appended == 0),
+        invalid_count=state.invalid_count +
+        jnp.sum((~contained).astype(jnp.int32)),
+        overflow=overflow,
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort / merge
+# ---------------------------------------------------------------------------
+
+def _sort_now(spec: IndexSpec, keys: Key, ids: jnp.ndarray):
+    ops = bidx.sort_operands(spec, keys) + (ids,)
+    sorted_ops = jax.lax.sort(ops, num_keys=len(ops))
+    return bidx.key_from_columns(spec, sorted_ops[:-1]), sorted_ops[-1]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def sort(spec: IndexSpec, state: LayerState) -> LayerState:
+    """Sort (key, id) tuples; full tuple order matches the reference's
+    ``sort_unstable`` on ``(Index, ID)`` (``src/layer.rs:159-165``).
+    Pad entries sort to the tail.  No-op when already sorted."""
+
+    def do_sort(s):
+        keys, ids = _sort_now(spec, s.keys, s.ids)
+        return s._replace(keys=keys, ids=ids, sorted=jnp.bool_(True))
+
+    return jax.lax.cond(state.sorted, lambda s: s, do_sort, state)
+
+
+# parallel and sequential sorts are the same kernel on TPU
+par_sort = sort
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def merge(spec: IndexSpec, state: LayerState, other: LayerState) -> LayerState:
+    """Merge another layer's tree (reference ``src/layer.rs:127-138``):
+    concatenate, adopt the smaller min_depth, mark unsorted."""
+    cap = capacity_of(state)
+    ocap = capacity_of(other)
+    src = jnp.arange(ocap, dtype=jnp.int32)
+    dest = state.count + src
+    take = src < other.count
+    dest = jnp.where(take & (dest < cap), dest, cap)
+
+    new_ids = state.ids.at[dest].set(other.ids, mode="drop")
+    if spec.bits == 32:
+        new_keys = state.keys.at[dest].set(other.keys, mode="drop")
+    else:
+        new_keys = U64(
+            state.keys.hi.at[dest].set(other.keys.hi, mode="drop"),
+            state.keys.lo.at[dest].set(other.keys.lo, mode="drop"),
+        )
+    new_count = state.count + other.count
+    return state._replace(
+        keys=new_keys,
+        ids=new_ids,
+        count=jnp.minimum(new_count, cap),
+        sorted=state.sorted & (other.count == 0),
+        min_depth=jnp.minimum(state.min_depth, other.min_depth),
+        overflow=state.overflow | other.overflow | (new_count > cap),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scan — data-parallel segmented pair expansion
+# ---------------------------------------------------------------------------
+
+def _scan_core(spec: IndexSpec, state: LayerState, pair_capacity: int,
+               filter_fn) -> Tuple[LayerState, ScanResult]:
+    state = sort(spec, state)
+    keys, ids, count = state.keys, state.ids, state.count
+    cap = capacity_of(state)
+
+    # Pass 1 — per-element descendant-run length.
+    # In Morton order, the partners of element j are exactly the elements in
+    # (j, e_j) where e_j = upper_bound(descendant_max(key_j)): the contiguity
+    # invariant behind the reference's stack sweep (SURVEY.md §3.2).
+    dmax = bidx.descendant_max(spec, keys)
+    e = search.upper_bound_keys(spec, keys, dmax)
+    e = jnp.minimum(e, count)
+    j_idx = jnp.arange(cap, dtype=jnp.int32)
+    run = jnp.where(j_idx < count, jnp.maximum(e - (j_idx + 1), 0), 0)
+
+    starts_incl = jnp.cumsum(run)
+    starts = starts_incl - run                       # exclusive prefix sum
+    total = starts_incl[cap - 1] if cap > 0 else jnp.int32(0)
+    # int32 wrap detection: cumsum of non-negatives must be non-decreasing
+    wrapped = jnp.any(starts_incl < starts)
+    pair_overflow = wrapped | (total > pair_capacity)
+
+    # Pass 2 — flat emission: pair slot t -> (j, i)
+    t = jnp.arange(pair_capacity, dtype=jnp.int32)
+    j = search.upper_bound_i32(starts, t) - 1
+    j = jnp.clip(j, 0, cap - 1)
+    i = j + 1 + (t - starts[j])
+    i = jnp.clip(i, 0, cap - 1)
+    a = ids[i]                                       # later element (current)
+    b = ids[j]                                       # earlier element (stack)
+    valid = (t < total) & (a != b)
+    if filter_fn is not None:
+        valid = valid & jnp.asarray(filter_fn(a, b), jnp.bool_)
+
+    # canonical output: sort pairs, dedup (reference src/layer.rs:473-474)
+    inv = (~valid).astype(jnp.uint32)
+    inv_s, a_s, b_s = jax.lax.sort((inv, a, b), num_keys=3)
+    prev_a = jnp.concatenate([a_s[:1] ^ jnp.uint32(1), a_s[:-1]])
+    prev_b = jnp.concatenate([b_s[:1], b_s[:-1]])
+    keep = (inv_s == 0) & ((a_s != prev_a) | (b_s != prev_b))
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dest = jnp.where(keep, pos, pair_capacity)
+    out_a = jnp.full((pair_capacity,), PAD_ID).at[dest].set(a_s, mode="drop")
+    out_b = jnp.full((pair_capacity,), PAD_ID).at[dest].set(b_s, mode="drop")
+    pair_count = jnp.sum(keep.astype(jnp.int32))
+
+    result = ScanResult(out_a, out_b, pair_count,
+                        pair_overflow | state.overflow)
+    return state, result
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def scan(spec: IndexSpec, state: LayerState,
+         pair_capacity: int) -> Tuple[LayerState, ScanResult]:
+    """All-pairs candidate collision scan (reference ``src/layer.rs:449-477``).
+
+    Returns the sorted, deduplicated (id_later, id_earlier) pair list —
+    bit-identical to the reference's scan output."""
+    return _scan_core(spec, state, pair_capacity, None)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def scan_filtered(spec: IndexSpec, state: LayerState, pair_capacity: int,
+                  filter_fn: Callable) -> Tuple[LayerState, ScanResult]:
+    """scan with a user predicate applied before dedup
+    (reference ``src/layer.rs:460-477``).  ``filter_fn(a_ids, b_ids)`` must be
+    a traceable vectorized function returning a bool mask."""
+    return _scan_core(spec, state, pair_capacity, filter_fn)
+
+
+# parallel scan is the same kernel on TPU (determinism comes from the
+# sort+dedup post-pass, exactly as in the reference's par_scan)
+par_scan = scan
+par_scan_filtered = scan_filtered
+
+
+# ---------------------------------------------------------------------------
+# Host-side views (debug / serialization; reference Layer::iter)
+# ---------------------------------------------------------------------------
+
+def tree_to_numpy(spec: IndexSpec, state: LayerState):
+    """(keys u64/u32 numpy, ids numpy, count) of the live prefix."""
+    cnt = int(state.count)
+    keys = bidx.keys_to_numpy(spec, state.keys)[:cnt]
+    ids = np.asarray(state.ids, dtype=np.uint32)[:cnt]
+    return keys, ids, cnt
+
+
+def scan_result_to_numpy(result: ScanResult):
+    cnt = int(result.count)
+    a = np.asarray(result.pairs_a, np.uint32)[:cnt]
+    b = np.asarray(result.pairs_b, np.uint32)[:cnt]
+    return list(zip(a.tolist(), b.tolist()))

@@ -157,7 +157,7 @@ def depth_for_bounds(spec: IndexSpec, lmin: Sequence[int], lmax: Sequence[int],
     clamped to axis_bits (reference ``src/geom.rs:189-199``)."""
     size_max = 0
     for i in range(spec.dim):
-        sizei = (lmax[i] - lmin[i] + 1) & U32  # wrapping, u32
+        sizei = (int(lmax[i]) - int(lmin[i]) + 1) & U32  # wrapping, u32
         size_max = max(size_max, sizei)
     v = (size_max - 1) & U32
     lz = 32 if v == 0 else 32 - v.bit_length()

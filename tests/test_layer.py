@@ -1,0 +1,177 @@
+"""Layer engine parity: device extend/sort/scan vs the sequential oracle.
+
+This reproduces the reference's golden-file test trio
+(tests/test_layer.rs:25-124) with regenerated scenes: the oracle plays the
+role of the missing LFS fixtures (SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+
+from broadphase_tpu import index as bidx
+from broadphase_tpu import layer as blayer
+from broadphase_tpu.index import Index32_2D, Index64_2D, Index64_3D
+from broadphase_tpu.utils import oracle
+
+
+def random_scene(dim, n, seed=0, density=0.001, smin=1.0, smax=10.0):
+    """Uniform boxes in a cube sized for the given density (analog of the
+    reference's gen_boxes, utils/src/gen_test_data.rs:100-155)."""
+    rng = np.random.default_rng(seed)
+    volume = n / density
+    L = volume ** (1.0 / dim) + (smin + smax) / 2
+    sys_min = np.zeros(dim, np.float32)
+    sys_max = np.full(dim, L, np.float32)
+    size = rng.uniform(smin, smax, size=(n, dim)).astype(np.float32)
+    bmin = (rng.uniform(0, 1, size=(n, dim)).astype(np.float32)
+            * (sys_max - size - sys_min) + sys_min).astype(np.float32)
+    bmax = bmin + size
+    ids = np.arange(n, dtype=np.uint32)
+    return sys_min, sys_max, bmin, bmax, ids
+
+
+CASES = [
+    (Index64_3D, 3, 500, 0),
+    (Index64_3D, 3, 2000, 1),
+    (Index32_2D, 2, 500, 2),
+    (Index64_2D, 2, 500, 3),
+    (Index64_3D, 3, 500, 4),
+]
+
+
+@pytest.mark.parametrize("spec,dim,n,seed", CASES,
+                         ids=lambda c: getattr(c, "name", str(c)))
+def test_extend_sort_scan_parity(spec, dim, n, seed):
+    sys_min, sys_max, bmin, bmax, ids = random_scene(dim, n, seed)
+
+    # --- oracle
+    okeys, oids, oinvalid = oracle.extend(spec, sys_min, sys_max,
+                                          bmin, bmax, ids, min_depth=0)
+    skeys, sids = oracle.sort_tree(okeys, oids)
+    opairs = oracle.scan(spec, skeys, sids)
+
+    # --- device
+    state = blayer.make_layer(spec, capacity=n * spec.fanout)
+    state = blayer.extend(spec, state, sys_min, sys_max, bmin, bmax, ids)
+    assert not bool(state.overflow)
+    assert int(state.invalid_count) == len(oinvalid)
+
+    # extend parity: unsorted tree equals oracle append order exactly
+    dkeys, dids, dcount = blayer.tree_to_numpy(spec, state)
+    assert dcount == len(okeys)
+    np.testing.assert_array_equal(dkeys, np.array(okeys, dtype=np.uint64))
+    np.testing.assert_array_equal(dids, np.array(oids, dtype=np.uint32))
+
+    # sort parity: full (key, id) tuple order
+    state = blayer.sort(spec, state)
+    dkeys, dids, _ = blayer.tree_to_numpy(spec, state)
+    np.testing.assert_array_equal(dkeys, np.array(skeys, dtype=np.uint64))
+    np.testing.assert_array_equal(dids, np.array(sids, dtype=np.uint32))
+
+    # scan parity: sorted + deduped (later, earlier) pairs, bit-identical
+    state, result = blayer.scan(spec, state, pair_capacity=max(64, n * 32))
+    assert not bool(result.overflow)
+    dpairs = blayer.scan_result_to_numpy(result)
+    assert dpairs == opairs
+
+    # sanity: candidates are a superset of true f32 AABB overlaps
+    brute = oracle.brute_force_pairs(bmin, bmax, ids)
+    got_unordered = {(min(a, b), max(a, b)) for a, b in dpairs}
+    missing = brute - got_unordered
+    assert not missing, f"missed {len(missing)} true overlap pairs"
+
+
+def test_scan_filtered():
+    spec = Index64_3D
+    sys_min, sys_max, bmin, bmax, ids = random_scene(3, 500, seed=5)
+
+    def filt_py(a, b):
+        return (a + b) % 3 == 0
+
+    okeys, oids, _ = oracle.extend(spec, sys_min, sys_max, bmin, bmax, ids)
+    skeys, sids = oracle.sort_tree(okeys, oids)
+    opairs = oracle.scan(spec, skeys, sids,
+                         filter_fn=lambda a, b: (a + b) % 3 == 0)
+
+    state = blayer.make_layer(spec, capacity=500 * 8)
+    state = blayer.extend(spec, state, sys_min, sys_max, bmin, bmax, ids)
+
+    def filt_dev(a, b):
+        return (a + b) % 3 == 0
+
+    state, result = blayer.scan_filtered(spec, state, 16384, filt_dev)
+    assert blayer.scan_result_to_numpy(result) == opairs
+
+
+def test_merge_and_clear():
+    spec = Index64_3D
+    sys_min, sys_max, bmin, bmax, ids = random_scene(3, 300, seed=6)
+    half = 150
+
+    # one layer built in two halves via merge == one layer built at once
+    a = blayer.make_layer(spec, capacity=300 * 8)
+    a = blayer.extend(spec, a, sys_min, sys_max,
+                      bmin[:half], bmax[:half], ids[:half])
+    b = blayer.make_layer(spec, capacity=150 * 8)
+    b = blayer.extend(spec, b, sys_min, sys_max,
+                      bmin[half:], bmax[half:], ids[half:])
+    merged = blayer.merge(spec, a, b)
+
+    whole = blayer.make_layer(spec, capacity=300 * 8)
+    whole = blayer.extend(spec, whole, sys_min, sys_max, bmin, bmax, ids)
+
+    merged = blayer.sort(spec, merged)
+    whole = blayer.sort(spec, whole)
+    mk, mi, mc = blayer.tree_to_numpy(spec, merged)
+    wk, wi, wc = blayer.tree_to_numpy(spec, whole)
+    assert mc == wc
+    np.testing.assert_array_equal(mk, wk)
+    np.testing.assert_array_equal(mi, wi)
+
+    _, rm = blayer.scan(spec, merged, 16384)
+    _, rw = blayer.scan(spec, whole, 16384)
+    assert blayer.scan_result_to_numpy(rm) == blayer.scan_result_to_numpy(rw)
+
+    # clear resets
+    cleared = blayer.clear(merged)
+    assert int(cleared.count) == 0 and bool(cleared.sorted)
+    _, rc = blayer.scan(spec, cleared, 64)
+    assert int(rc.count) == 0
+
+
+def test_min_depth_parity():
+    """min_depth forces deeper cells (more slots); parity with oracle using
+    a slots_per_axis wide enough to avoid overflow."""
+    spec = Index64_3D
+    sys_min, sys_max, bmin, bmax, ids = random_scene(3, 200, seed=7)
+
+    min_depth = 4
+    okeys, oids, _ = oracle.extend(spec, sys_min, sys_max, bmin, bmax, ids,
+                                   min_depth=min_depth)
+    skeys, sids = oracle.sort_tree(okeys, oids)
+    opairs = oracle.scan(spec, skeys, sids)
+
+    state = blayer.make_layer(spec, capacity=len(okeys) + 64,
+                              min_depth=min_depth)
+    state = blayer.extend(spec, state, sys_min, sys_max, bmin, bmax, ids,
+                          slots_per_axis=4)
+    assert not bool(state.overflow)
+    dkeys, dids, dcount = blayer.tree_to_numpy(spec, state)
+    assert dcount == len(okeys)
+    np.testing.assert_array_equal(dkeys, np.array(okeys, dtype=np.uint64))
+    np.testing.assert_array_equal(dids, np.array(oids, dtype=np.uint32))
+
+    state, result = blayer.scan(spec, state, 65536)
+    assert blayer.scan_result_to_numpy(result) == opairs
+
+
+def test_pair_capacity_overflow_flag():
+    spec = Index64_3D
+    sys_min, sys_max, bmin, bmax, ids = random_scene(3, 500, seed=8)
+    state = blayer.make_layer(spec, capacity=500 * 8)
+    state = blayer.extend(spec, state, sys_min, sys_max, bmin, bmax, ids)
+    _, big = blayer.scan(spec, state, 16384)
+    n_pairs = int(big.count)
+    assert n_pairs > 4
+    _, small = blayer.scan(spec, state, 4)
+    assert bool(small.overflow)
