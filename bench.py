@@ -1,0 +1,111 @@
+"""Benchmark: full broadphase step (clear + extend + sort + scan) on device.
+
+Reproduces the reference's headline configuration scaled 100x: the reference
+does 10,000 dynamic objects in ~6 ms on a 2015 desktop CPU
+(``/root/reference/README.md:17-19``); the TPU target (BASELINE.md) is a
+1M-object full step in < 6 ms on one chip.
+
+Prints ONE JSON line:
+  {"metric": "full_step_1M_p50_ms", "value": <p50 ms>, "unit": "ms",
+   "vs_baseline": <pairs-throughput speedup vs the reference baseline>}
+
+vs_baseline = (1e6 objects / p50) / (1e4 objects / 6 ms): 100.0 means the
+1M-in-6ms north star exactly; higher is better.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _scene(dim, n, seed=0, density=1.0 / 1000.0, size_range=(1.0, 10.0)):
+    """Deterministic boxes scene shaped like the reference generator's
+    (``utils/src/gen_test_data.rs:100-155``): cubic system bounds with volume
+    n/density, uniform sizes in [s0, s1), uniform placement."""
+    rng = np.random.default_rng(seed)
+    extent = (n / density) ** (1.0 / dim)
+    lo, hi = 0.0, float(extent)
+    size = rng.uniform(size_range[0], size_range[1], size=(n, dim)).astype(np.float32)
+    bmin = (rng.uniform(lo, hi, size=(n, dim)).astype(np.float32)
+            * ((hi - size_range[1]) / hi)).astype(np.float32)
+    bmax = bmin + size
+    ids = np.arange(n, dtype=np.uint32)
+    smin = np.full(dim, lo, np.float32)
+    smax = np.full(dim, hi, np.float32)
+    return smin, smax, bmin, bmax, ids
+
+
+def bench_full_step(n, iters=30, warmup=3, pair_slack=16):
+    import jax
+    import jax.numpy as jnp
+
+    from broadphase_tpu import Index64_3D, layer
+
+    spec = Index64_3D
+    smin, smax, bmin, bmax, ids = _scene(spec.dim, n)
+    pair_cap = pair_slack * n
+
+    @jax.jit
+    def step(bounds_min, bounds_max, obj_ids):
+        state = layer.build(spec, jnp.asarray(smin), jnp.asarray(smax),
+                            bounds_min, bounds_max, obj_ids)
+        state, result = layer.scan(spec, state, pair_cap)
+        return result.pairs_a, result.pairs_b, result.count, result.overflow
+
+    d_bmin, d_bmax, d_ids = (jax.device_put(x) for x in (bmin, bmax, ids))
+    out = step(d_bmin, d_bmax, d_ids)
+    jax.block_until_ready(out)
+    if bool(out[3]):
+        print(f"WARNING: n={n} overflowed buffers", file=sys.stderr)
+
+    times = []
+    for _ in range(warmup):
+        jax.block_until_ready(step(d_bmin, d_bmax, d_ids))
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(step(d_bmin, d_bmax, d_ids))
+        times.append((time.perf_counter() - t0) * 1e3)
+    p50 = float(np.percentile(times, 50))
+    pairs = int(out[2])
+    return p50, pairs
+
+
+def main():
+    import jax
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
+          file=sys.stderr)
+
+    on_tpu = dev.platform == "tpu"
+    n_small = 10_000
+    n_big = 1_000_000 if on_tpu else 30_000
+
+    p50_small, pairs_small = bench_full_step(n_small)
+    print(f"full_step n={n_small}: p50={p50_small:.3f} ms, "
+          f"pairs={pairs_small}, "
+          f"pairs/sec={pairs_small / (p50_small * 1e-3):.3e}", file=sys.stderr)
+
+    p50_big, pairs_big = bench_full_step(n_big, iters=20)
+    print(f"full_step n={n_big}: p50={p50_big:.3f} ms, pairs={pairs_big}, "
+          f"pairs/sec={pairs_big / (p50_big * 1e-3):.3e}", file=sys.stderr)
+
+    # reference baseline: 10k objects per 6 ms (README.md:17-19)
+    ref_objs_per_ms = 10_000 / 6.0
+    our_objs_per_ms = n_big / p50_big
+    vs_baseline = our_objs_per_ms / ref_objs_per_ms
+
+    metric = "full_step_1M_p50_ms" if n_big == 1_000_000 else \
+        f"full_step_{n_big}_p50_ms"
+    print(json.dumps({
+        "metric": metric,
+        "value": round(p50_big, 4),
+        "unit": "ms",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

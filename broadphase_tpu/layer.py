@@ -172,6 +172,60 @@ def extend(spec: IndexSpec, state: LayerState,
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0, 6))
+def build(spec: IndexSpec, system_min, system_max,
+          bounds_min, bounds_max, ids,
+          slots_per_axis: int = 2, min_depth=0) -> LayerState:
+    """Fused clear + extend + sort for a fresh frame — the hot build path.
+
+    Instead of stream-compacting emitted cells with a scatter (slow on TPU),
+    invalid slots keep pad keys and the sort (needed anyway) pushes them to
+    the tail: compaction falls out of the sort for free.  Capacity is the
+    static ``n * slots_per_axis**dim``.  Semantically identical to
+    ``clear + extend + sort`` (reference ``src/layer.rs:79-121`` + ``:159``).
+    """
+    system_min = jnp.asarray(system_min, jnp.float32)
+    system_max = jnp.asarray(system_max, jnp.float32)
+    bounds_min = jnp.asarray(bounds_min, jnp.float32)
+    bounds_max = jnp.asarray(bounds_max, jnp.float32)
+    ids = jnp.asarray(ids, jnp.uint32)
+    n = ids.shape[0]
+    md = jnp.asarray(min_depth, jnp.uint32)
+
+    contained = geom.bounds_contains(system_min, system_max,
+                                     bounds_min, bounds_max)
+    lmin = geom.to_local(system_min, system_max, bounds_min)
+    lmax = geom.to_local(system_min, system_max, bounds_max)
+    keys, valid, cell_ovf = geom.emit_cells(spec, lmin, lmax, md,
+                                            slots_per_axis)
+    valid = valid & contained[:, None]
+    cell_ovf = cell_ovf & contained
+
+    S = valid.shape[1]
+    cap = n * S
+    flat_valid = valid.reshape(cap)
+    flat_ids = jnp.where(flat_valid,
+                         jnp.broadcast_to(ids[:, None], (n, S)).reshape(cap),
+                         PAD_ID)
+    pad = spec.pad_key((n, S))
+    keys = bidx.key_where(spec, valid, keys, pad)
+    if spec.bits == 32:
+        flat_keys = keys.reshape(cap)
+    else:
+        flat_keys = U64(keys.hi.reshape(cap), keys.lo.reshape(cap))
+
+    skeys, sids = _sort_now(spec, flat_keys, flat_ids)
+    return LayerState(
+        keys=skeys,
+        ids=sids,
+        count=jnp.sum(flat_valid.astype(jnp.int32)),
+        sorted=jnp.bool_(True),
+        min_depth=md,
+        invalid_count=jnp.sum((~contained).astype(jnp.int32)),
+        overflow=jnp.any(cell_ovf),
+    )
+
+
 # ---------------------------------------------------------------------------
 # sort / merge
 # ---------------------------------------------------------------------------
@@ -233,18 +287,28 @@ def merge(spec: IndexSpec, state: LayerState, other: LayerState) -> LayerState:
 # scan — data-parallel segmented pair expansion
 # ---------------------------------------------------------------------------
 
-def _scan_core(spec: IndexSpec, state: LayerState, pair_capacity: int,
-               filter_fn) -> Tuple[LayerState, ScanResult]:
-    state = sort(spec, state)
-    keys, ids, count = state.keys, state.ids, state.count
-    cap = capacity_of(state)
+def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
+               count: jnp.ndarray, pair_capacity: int,
+               filter_fn=None, extra_overflow=None) -> ScanResult:
+    """Data-parallel pair expansion over a *sorted* (keys, ids) array.
+
+    Shared by the single-chip :func:`scan` and the multi-chip sharded scan
+    (``broadphase_tpu.parallel``).  ``keys``/``ids`` must be sorted with pad
+    entries (all-ones keys) at the tail; ``count`` is the live prefix length.
+    """
+    cap = ids.shape[0]
+    if cap == 0:        # empty layer: nothing to pair
+        empty = jnp.full((pair_capacity,), PAD_ID, jnp.uint32)
+        ovf = jnp.bool_(False) if extra_overflow is None else extra_overflow
+        return ScanResult(empty, empty, jnp.int32(0), ovf)
 
     # Pass 1 — per-element descendant-run length.
     # In Morton order, the partners of element j are exactly the elements in
     # (j, e_j) where e_j = upper_bound(descendant_max(key_j)): the contiguity
     # invariant behind the reference's stack sweep (SURVEY.md §3.2).
+    # merged_upper_bound = one sort + cumsum (no gather loops; see ops.search).
     dmax = bidx.descendant_max(spec, keys)
-    e = search.upper_bound_keys(spec, keys, dmax)
+    e = search.merged_upper_bound(spec, keys, dmax)
     e = jnp.minimum(e, count)
     j_idx = jnp.arange(cap, dtype=jnp.int32)
     run = jnp.where(j_idx < count, jnp.maximum(e - (j_idx + 1), 0), 0)
@@ -256,12 +320,11 @@ def _scan_core(spec: IndexSpec, state: LayerState, pair_capacity: int,
     wrapped = jnp.any(starts_incl < starts)
     pair_overflow = wrapped | (total > pair_capacity)
 
-    # Pass 2 — flat emission: pair slot t -> (j, i)
+    # Pass 2 — flat emission: pair slot t -> (j, i = j + 1 + offset)
     t = jnp.arange(pair_capacity, dtype=jnp.int32)
-    j = search.upper_bound_i32(starts, t) - 1
+    j, off = search.expand_runs(starts, pair_capacity)
     j = jnp.clip(j, 0, cap - 1)
-    i = j + 1 + (t - starts[j])
-    i = jnp.clip(i, 0, cap - 1)
+    i = jnp.clip(j + 1 + off, 0, cap - 1)
     a = ids[i]                                       # later element (current)
     b = ids[j]                                       # earlier element (stack)
     valid = (t < total) & (a != b)
@@ -280,8 +343,18 @@ def _scan_core(spec: IndexSpec, state: LayerState, pair_capacity: int,
     out_b = jnp.full((pair_capacity,), PAD_ID).at[dest].set(b_s, mode="drop")
     pair_count = jnp.sum(keep.astype(jnp.int32))
 
-    result = ScanResult(out_a, out_b, pair_count,
-                        pair_overflow | state.overflow)
+    overflow = pair_overflow
+    if extra_overflow is not None:
+        overflow = overflow | extra_overflow
+    return ScanResult(out_a, out_b, pair_count, overflow)
+
+
+def _scan_core(spec: IndexSpec, state: LayerState, pair_capacity: int,
+               filter_fn) -> Tuple[LayerState, ScanResult]:
+    state = sort(spec, state)
+    result = scan_pairs(spec, state.keys, state.ids, state.count,
+                        pair_capacity, filter_fn,
+                        extra_overflow=state.overflow)
     return state, result
 
 

@@ -1,0 +1,14 @@
+"""Multi-chip scaling: sharded broadphase over a jax.sharding.Mesh.
+
+The reference scales with rayon fork-join on one shared-memory node
+(``src/layer.rs:522-548``); the TPU build scales over a device mesh with XLA
+collectives riding ICI.  See :mod:`broadphase_tpu.parallel.scan`.
+"""
+
+from .scan import (  # noqa: F401
+    ShardedScanResult,
+    gather_pairs,
+    make_sharded_step,
+    min_depth_for_devices,
+    sharded_scan_step,
+)

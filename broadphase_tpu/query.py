@@ -1,0 +1,281 @@
+"""Device-side point/region queries: test_box, test_ray, pick, pick_ray.
+
+TPU-native rebuild of the reference's recursive query engine
+(``src/layer.rs:167-239`` ``test_impl`` + the ``TestGeometry`` contract,
+``src/geom.rs:327-689``).
+
+Design: the reference walks the implicit tree top-down, halving the cell's
+f32 bounds at every level and pruning subtrees with ``should_test``.  For
+every geometry the reference ships (box overlap, ray slab), ``should_test``
+is *monotone*: a child cell can only pass if its parent passed (child bounds
+nest exactly under midpoint halving; ray slab intervals only shrink).  So an
+element is reported iff its OWN replayed cell state passes — which turns the
+recursion into one branch-free elementwise pass over the sorted array:
+
+    replay each element's root->cell halving path (driven by its origin
+    bits), evaluate should_test once, mask, compact, sort + dedup.
+
+No tree walk, no gathers — ideal for the VPU.  The f32 halving sequence is
+replayed bit-for-bit (``geom.cell_bounds_f32``), so accept/reject decisions
+are identical to the reference's recursive engine, including its ``max_depth``
+cutoff (report the whole subtree slice at the cutoff depth,
+``src/layer.rs:189-196``), reproduced here as ``replay_depth = min(depth,
+max_depth)``.
+
+``pick`` / ``pick_ray`` (``src/layer.rs:364-446``): the reference's
+front-to-back early-out is a traversal-order optimization; its result is the
+argmin of the user's ``get_dist`` over all candidates whose cell passes
+``should_test`` with ``nearest = max_distance`` (assuming the narrow phase is
+consistent: an object's distance is never below its cell's entry distance).
+The TPU version evaluates the vectorized ``get_dist`` on all masked
+candidates at once and reduces with argmin.  Ties on distance are broken by
+lowest object id (the reference keeps the first hit in traversal order;
+document-level deviation, see tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import geom
+from . import index as bidx
+from .index import IndexSpec
+from .layer import PAD_ID, LayerState, TestResult, sort
+
+
+# ---------------------------------------------------------------------------
+# Shared: replayed per-element cell state
+# ---------------------------------------------------------------------------
+
+def _element_cells(spec: IndexSpec, state: LayerState,
+                   system_min, system_max, max_depth: Optional[int]
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(cell_min, cell_max, live): replayed f32 bounds of each element's cell
+    (truncated to max_depth) + mask of live (non-pad) slots."""
+    cap = state.ids.shape[0]
+    origin = bidx.origin_of(spec, state.keys)
+    depth = bidx.depth_of(spec, state.keys)
+    cmin, cmax = geom.cell_bounds_f32(spec, origin, depth,
+                                      system_min, system_max,
+                                      replay_depth=max_depth)
+    live = jnp.arange(cap, dtype=jnp.int32) < state.count
+    return cmin, cmax, live
+
+
+def _unique_compact(values: jnp.ndarray, mask: jnp.ndarray,
+                    result_cap: int) -> TestResult:
+    """Sorted unique `values[mask]` into a fixed buffer — the reference's
+    ``results.sort(); results.dedup()`` post-pass (``src/layer.rs:276-277``)."""
+    inv = (~mask).astype(jnp.uint32)
+    inv_s, v_s = jax.lax.sort((inv, values), num_keys=2)
+    prev = jnp.concatenate([v_s[:1] ^ jnp.uint32(1), v_s[:-1]])
+    keep = (inv_s == 0) & (v_s != prev)
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    count = jnp.sum(keep.astype(jnp.int32))
+    dest = jnp.where(keep & (pos < result_cap), pos, result_cap)
+    out = jnp.full((result_cap,), PAD_ID, jnp.uint32
+                   ).at[dest].set(v_s, mode="drop")
+    return TestResult(out, jnp.minimum(count, result_cap),
+                      count > result_cap)
+
+
+# ---------------------------------------------------------------------------
+# Box queries (reference BoxTestGeometry, src/geom.rs:352-455)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+def test_box(spec: IndexSpec, state: LayerState, system_min, system_max,
+             query_bounds, result_cap: int,
+             max_depth: Optional[int] = None
+             ) -> Tuple[LayerState, TestResult]:
+    """All ids whose cell overlaps the query AABB
+    (reference ``Layer::test_box``, ``src/layer.rs:294-313``).
+
+    query_bounds: (qmin, qmax) f32 (dim,) global coordinates.
+    """
+    state = sort(spec, state)
+    qmin = jnp.asarray(query_bounds[0], jnp.float32)
+    qmax = jnp.asarray(query_bounds[1], jnp.float32)
+    cmin, cmax, live = _element_cells(spec, state, system_min, system_max,
+                                      max_depth)
+    hit = geom.bounds_overlaps(cmin, cmax, qmin[None, :], qmax[None, :])
+    return state, _unique_compact(state.ids, hit & live, result_cap)
+
+
+# ---------------------------------------------------------------------------
+# Ray queries (reference RayTestGeometry, src/geom.rs:459-689)
+# ---------------------------------------------------------------------------
+
+def ray_intervals(spec: IndexSpec, state: LayerState, system_min, system_max,
+                  ray_origin, ray_dir, range_min=0.0, range_max=jnp.inf,
+                  max_depth: Optional[int] = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-element ray slab interval after replaying the halving path.
+
+    Bit-exact replay of ``RayTestGeometry``: the system-bounds clamp
+    (``src/geom.rs:515-544``), then per level the center-plane distance
+    updates incl. the axis-parallel kill rule (``:565-575``).
+    Returns (rmin, rmax, live): (cap,) f32 each.
+    """
+    cap = state.ids.shape[0]
+    dim = spec.dim
+    smin = jnp.asarray(system_min, jnp.float32)
+    smax = jnp.asarray(system_max, jnp.float32)
+    ro = jnp.asarray(ray_origin, jnp.float32)
+    rd = jnp.asarray(ray_dir, jnp.float32)
+
+    origin = bidx.origin_of(spec, state.keys)       # tuple of (cap,) u32
+    depth = bidx.depth_of(spec, state.keys)
+    if max_depth is None:
+        replay = depth
+    else:
+        replay = jnp.minimum(depth, jnp.uint32(max_depth))
+
+    # with_system_bounds clamp (finite slab distances only)
+    d0 = (smin - ro) / rd
+    d1 = (smax - ro) / rd
+    fwd = rd > 0
+    lo_d = jnp.where(fwd, d0, d1)
+    hi_d = jnp.where(fwd, d1, d0)
+    rmin0 = jnp.float32(range_min)
+    rmax0 = jnp.float32(range_max)
+    for axis in range(dim):
+        rmin0 = jnp.where(jnp.isfinite(lo_d[axis]),
+                          jnp.maximum(rmin0, lo_d[axis]), rmin0)
+        rmax0 = jnp.where(jnp.isfinite(hi_d[axis]),
+                          jnp.minimum(rmax0, hi_d[axis]), rmax0)
+
+    lo = jnp.broadcast_to(smin, (cap, dim))
+    hi = jnp.broadcast_to(smax, (cap, dim))
+    og = jnp.stack(origin, axis=-1)                 # (cap, dim)
+    rmin = jnp.full((cap,), rmin0, jnp.float32)
+    rmax = jnp.full((cap,), rmax0, jnp.float32)
+    for b in range(spec.axis_bits):
+        active = (jnp.uint32(b) < replay)[:, None]              # (cap, 1)
+        center = lo + (hi - lo) * jnp.float32(0.5)
+        dist = (center - ro[None, :]) / rd[None, :]             # (cap, dim)
+        side = ((og >> jnp.uint32(31 - b)) & jnp.uint32(1)) == 1
+        finite = jnp.isfinite(dist)
+        towards = (rd[None, :] > 0) != side
+        upd_max = active & finite & towards
+        upd_min = active & finite & ~towards
+        new_rmax = jnp.min(jnp.where(upd_max, dist, jnp.inf), axis=-1)
+        new_rmin = jnp.max(jnp.where(upd_min, dist, -jnp.inf), axis=-1)
+        rmax = jnp.minimum(rmax, new_rmax)
+        rmin = jnp.maximum(rmin, new_rmin)
+        # axis-parallel ray outside the child's slab -> empty interval
+        kill = active & ~finite & ((ro[None, :] > center) != side)
+        dead = jnp.any(kill, axis=-1)
+        rmin = jnp.where(dead, jnp.inf, rmin)
+        rmax = jnp.where(dead, -jnp.inf, rmax)
+        lo = jnp.where(active & side, center, lo)
+        hi = jnp.where(active & ~side, center, hi)
+
+    live = jnp.arange(cap, dtype=jnp.int32) < state.count
+    return rmin, rmax, live
+
+
+@functools.partial(jax.jit, static_argnums=(0, 8, 9))
+def test_ray(spec: IndexSpec, state: LayerState, system_min, system_max,
+             ray_origin, ray_dir, range_min, range_max, result_cap: int,
+             max_depth: Optional[int] = None
+             ) -> Tuple[LayerState, TestResult]:
+    """All ids whose cell the ray's slab interval intersects
+    (reference ``Layer::test_ray``, ``src/layer.rs:327-352``)."""
+    state = sort(spec, state)
+    rmin, rmax, live = ray_intervals(spec, state, system_min, system_max,
+                                     ray_origin, ray_dir, range_min,
+                                     range_max, max_depth)
+    hit = (rmin < rmax) & live       # should_test with nearest = inf
+    return state, _unique_compact(state.ids, hit, result_cap)
+
+
+class PickResult(NamedTuple):
+    distance: jnp.ndarray   # () f32; +inf when nothing hit
+    obj_id: jnp.ndarray     # () uint32; PAD_ID when nothing hit
+    found: jnp.ndarray      # () bool
+
+
+def _argmin_pick(d: jnp.ndarray, ids: jnp.ndarray, max_dist) -> PickResult:
+    """(min dist, its id) with ties broken by lowest id; two VPU reductions."""
+    hit = d < max_dist
+    d = jnp.where(hit, d, jnp.inf)
+    dmin = jnp.min(d)
+    idmin = jnp.min(jnp.where(d == dmin, ids, PAD_ID))
+    found = jnp.any(hit)
+    return PickResult(jnp.where(found, dmin, jnp.inf),
+                      jnp.where(found, idmin, PAD_ID), found)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 7, 9))
+def pick_ray(spec: IndexSpec, state: LayerState, system_min, system_max,
+             ray_origin, ray_dir, max_distance,
+             get_dist: Callable, get_dist_args=(),
+             max_depth: Optional[int] = None
+             ) -> Tuple[LayerState, PickResult]:
+    """Nearest object along a ray (reference ``Layer::pick_ray``,
+    ``src/layer.rs:418-446``).
+
+    ``get_dist(ids, mask, *get_dist_args) -> f32 dists`` is the vectorized
+    narrow phase (the reference takes a scalar callback, ``:438-444``);
+    non-finite distances are treated as misses (``:390-397``).  ``get_dist``
+    is a static jit argument — anything data-dependent (the ray, object
+    geometry arrays) must flow through ``get_dist_args``, not the closure.  Candidates are all elements whose
+    cell interval passes ``should_test`` with nearest = max_distance; the
+    result is the distance argmin (ties -> lowest id)."""
+    state = sort(spec, state)
+    md = jnp.float32(max_distance)
+    rmin, rmax, live = ray_intervals(spec, state, system_min, system_max,
+                                     ray_origin, ray_dir, 0.0, md, max_depth)
+    cand = (rmin < rmax) & (rmin < md) & live
+    d = jnp.asarray(get_dist(state.ids, cand, *get_dist_args),
+                    jnp.float32)
+    d = jnp.where(jnp.isfinite(d) & cand, d, jnp.inf)
+    return state, _argmin_pick(d, state.ids, md)
+
+
+# ---------------------------------------------------------------------------
+# Generic geometry protocol (reference TestGeometry, src/geom.rs:327-348)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 6, 7))
+def test(spec: IndexSpec, state: LayerState, system_min, system_max,
+         should_test: Callable, should_test_args=(), result_cap: int = 256,
+         max_depth: Optional[int] = None) -> Tuple[LayerState, TestResult]:
+    """Generic query: user supplies a vectorized, *monotone* ``should_test``
+    predicate over replayed cell bounds: ``should_test(cell_min, cell_max,
+    *should_test_args) -> bool (cap,)`` (the TPU analog of the reference's TestGeometry
+    callback protocol; monotonicity — child passes => parent passes — is the
+    property every reference geometry satisfies and what makes the
+    elementwise rewrite exact)."""
+    state = sort(spec, state)
+    cmin, cmax, live = _element_cells(spec, state, system_min, system_max,
+                                      max_depth)
+    hit = jnp.asarray(should_test(cmin, cmax, *should_test_args),
+                      jnp.bool_)
+    return state, _unique_compact(state.ids, hit & live, result_cap)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 7))
+def pick(spec: IndexSpec, state: LayerState, system_min, system_max,
+         get_dist: Callable, max_distance=jnp.inf, get_dist_args=(),
+         max_depth: Optional[int] = None
+         ) -> Tuple[LayerState, PickResult]:
+    """Generic nearest-object query over replayed cell bounds
+    (reference ``Layer::pick``, ``src/layer.rs:364-404``).
+
+    ``get_dist(ids, cell_min, cell_max, mask, *get_dist_args) -> f32``
+    vectorized; non-finite = miss.  Data-dependent state must flow through
+    ``get_dist_args`` (``get_dist`` itself is a static jit argument)."""
+    state = sort(spec, state)
+    cmin, cmax, live = _element_cells(spec, state, system_min, system_max,
+                                      max_depth)
+    md = jnp.float32(max_distance)
+    d = jnp.asarray(get_dist(state.ids, cmin, cmax, live,
+                             *get_dist_args), jnp.float32)
+    d = jnp.where(jnp.isfinite(d) & live, d, jnp.inf)
+    return state, _argmin_pick(d, state.ids, md)

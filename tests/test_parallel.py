@@ -1,0 +1,86 @@
+"""Multi-chip sharded scan vs the sequential oracle, on an 8-device CPU mesh.
+
+Mirrors the reference's testing idea for par_scan (``tests/test_layer.rs:92-124``):
+the parallel implementation must produce exactly the sequential golden pair
+list after the canonical sort+dedup post-pass.
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from broadphase_tpu import Index32_2D, Index64_3D
+from broadphase_tpu.parallel import (
+    gather_pairs,
+    make_sharded_step,
+    min_depth_for_devices,
+    sharded_scan_step,
+)
+from broadphase_tpu.utils import oracle
+
+
+def _scene(spec, n, seed, lo=-100.0, hi=100.0, smax_size=10.0):
+    rng = np.random.default_rng(seed)
+    dim = spec.dim
+    size = rng.uniform(1.0, smax_size, size=(n, dim)).astype(np.float32)
+    bmin = rng.uniform(lo, hi - smax_size, size=(n, dim)).astype(np.float32)
+    bmax = bmin + size
+    ids = np.arange(n, dtype=np.uint32)
+    smin = np.full(dim, lo, np.float32)
+    smax = np.full(dim, hi, np.float32)
+    return smin, smax, bmin, bmax, ids
+
+
+def _oracle_pairs(spec, smin, smax, bmin, bmax, ids, min_depth):
+    keys, tids, _ = oracle.extend(spec, smin, smax, bmin, bmax, ids,
+                                  min_depth=min_depth)
+    keys, tids = oracle.sort_tree(keys, tids)
+    return oracle.scan(spec, keys, tids)
+
+
+@pytest.mark.parametrize("spec", [Index64_3D, Index32_2D],
+                         ids=lambda s: s.name)
+@pytest.mark.parametrize("n_dev", [1, 4, 8])
+def test_sharded_scan_matches_oracle(spec, n_dev):
+    devices = np.array(jax.devices()[:n_dev])
+    mesh = Mesh(devices, ("objects",))
+    n = 600
+    smin, smax, bmin, bmax, ids = _scene(spec, n, seed=7)
+
+    md = min_depth_for_devices(spec, n_dev)
+    step = make_sharded_step(spec, mesh, "objects",
+                             bucket_capacity=8 * n,
+                             pair_capacity=16 * n)
+    res = step(smin, smax, bmin, bmax, ids)
+    assert not bool(res.overflow)
+    got = gather_pairs(res)
+
+    want = _oracle_pairs(spec, smin, smax, bmin, bmax, ids, md)
+    assert got == want
+
+
+def test_sharded_scan_drops_out_of_bounds():
+    spec = Index64_3D
+    devices = np.array(jax.devices()[:4])
+    mesh = Mesh(devices, ("objects",))
+    n = 64
+    smin, smax, bmin, bmax, ids = _scene(spec, n, seed=3)
+    bmin[5] = np.float32(-500.0)  # outside the system box -> dropped
+    bmax[5] = np.float32(-490.0)
+    step = make_sharded_step(spec, mesh, "objects",
+                             bucket_capacity=8 * n, pair_capacity=16 * n)
+    res = step(smin, smax, bmin, bmax, ids)
+    assert int(res.invalid_count) == 1
+    got = gather_pairs(res)
+    md = min_depth_for_devices(spec, 4)
+    want = _oracle_pairs(spec, smin, smax, bmin, bmax, ids, md)
+    assert got == want
+
+
+def test_min_depth_for_devices():
+    assert min_depth_for_devices(Index64_3D, 1) == 0
+    assert min_depth_for_devices(Index64_3D, 8) == 1
+    assert min_depth_for_devices(Index64_3D, 16) == 2
+    assert min_depth_for_devices(Index32_2D, 8) == 2
+    assert min_depth_for_devices(Index32_2D, 16) == 2

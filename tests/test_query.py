@@ -1,0 +1,164 @@
+"""Device query engine vs the oracle's recursive test_impl port.
+
+The oracle (tests the reference semantics, ``src/layer.rs:167-239``) walks
+the tree recursively with f32 cell halving; the device engine replays each
+element's halving path elementwise.  Results must match id-for-id.
+"""
+
+import numpy as np
+import pytest
+
+from broadphase_tpu import Index32_2D, Index64_2D, Index64_3D, layer, query
+from broadphase_tpu.utils import oracle
+
+SPECS = [Index32_2D, Index64_2D, Index64_3D]
+
+
+def _scene(spec, n, seed, lo=-50.0, hi=50.0):
+    rng = np.random.default_rng(seed)
+    dim = spec.dim
+    size = rng.uniform(0.5, 8.0, size=(n, dim)).astype(np.float32)
+    bmin = rng.uniform(lo, hi - 8.0, size=(n, dim)).astype(np.float32)
+    bmax = bmin + size
+    ids = np.arange(n, dtype=np.uint32)
+    smin = np.full(dim, lo, np.float32)
+    smax = np.full(dim, hi, np.float32)
+    return smin, smax, bmin, bmax, ids
+
+
+def _built_layer(spec, smin, smax, bmin, bmax, ids, min_depth=0):
+    state = layer.build(spec, smin, smax, bmin, bmax, ids,
+                        min_depth=min_depth)
+    keys, tids, _ = oracle.extend(spec, smin, smax, bmin, bmax, ids,
+                                  min_depth=min_depth)
+    keys, tids = oracle.sort_tree(keys, tids)
+    return state, keys, tids
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=lambda s: s.name)
+@pytest.mark.parametrize("max_depth", [None, 3])
+def test_test_box_matches_oracle(spec, max_depth):
+    smin, smax, bmin, bmax, ids = _scene(spec, 300, seed=11)
+    state, keys, tids = _built_layer(spec, smin, smax, bmin, bmax, ids)
+
+    rng = np.random.default_rng(5)
+    for trial in range(4):
+        qmin = rng.uniform(-50, 30, spec.dim).astype(np.float32)
+        qmax = qmin + rng.uniform(1, 25, spec.dim).astype(np.float32)
+        state, res = query.test_box(spec, state, smin, smax,
+                                    (qmin, qmax), result_cap=512,
+                                    max_depth=max_depth)
+        got = list(np.asarray(res.ids[: int(res.count)]))
+        geom = oracle.BoxTestGeometry(smin, smax, qmin, qmax)
+        want = oracle.run_test(spec, keys, tids, geom, max_depth=max_depth)
+        assert got == want, f"trial {trial}"
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=lambda s: s.name)
+@pytest.mark.parametrize("max_depth", [None, 4])
+def test_test_ray_matches_oracle(spec, max_depth):
+    smin, smax, bmin, bmax, ids = _scene(spec, 300, seed=13)
+    state, keys, tids = _built_layer(spec, smin, smax, bmin, bmax, ids)
+
+    rng = np.random.default_rng(6)
+    for trial in range(6):
+        origin = rng.uniform(-45, 45, spec.dim).astype(np.float32)
+        direction = rng.normal(size=spec.dim).astype(np.float32)
+        if trial == 2:
+            direction[0] = 0.0      # axis-parallel case
+        if trial == 3:
+            direction = np.zeros(spec.dim, np.float32)
+            direction[-1] = 1.0     # exactly axis-aligned
+        state, res = query.test_ray(spec, state, smin, smax,
+                                    origin, direction, 0.0, np.inf,
+                                    result_cap=512, max_depth=max_depth)
+        got = list(np.asarray(res.ids[: int(res.count)]))
+        geom = oracle.RayTestGeometry(smin, smax, origin, direction,
+                                      0.0, np.inf)
+        want = oracle.run_test(spec, keys, tids, geom, max_depth=max_depth)
+        assert got == want, f"trial {trial}"
+
+
+@pytest.mark.parametrize("spec", [Index32_2D, Index64_3D],
+                         ids=lambda s: s.name)
+def test_pick_ray_matches_oracle(spec):
+    smin, smax, bmin, bmax, ids = _scene(spec, 200, seed=17)
+    state, keys, tids = _built_layer(spec, smin, smax, bmin, bmax, ids)
+    centers = (bmin + bmax) / 2.0
+    radii = np.min(bmax - bmin, axis=1) / 2.0
+
+    def ray_sphere_np(origin, direction, oid):
+        # exact ray->sphere distance; inf on miss
+        c = centers[oid] - origin
+        dn = direction / np.linalg.norm(direction)
+        t = float(np.dot(c, dn))
+        d2 = float(np.dot(c, c)) - t * t
+        r2 = float(radii[oid]) ** 2
+        if d2 > r2 or t + np.sqrt(max(r2 - d2, 0.0)) < 0:
+            return np.inf
+        return t - np.sqrt(r2 - d2)
+
+    import jax.numpy as jnp
+
+    def get_dist(cand_ids, mask, ro, dirn):
+        c = jnp.asarray(centers)[cand_ids] - ro[None, :]
+        t = jnp.sum(c * dirn[None, :], axis=-1)
+        d2 = jnp.sum(c * c, axis=-1) - t * t
+        r2 = jnp.asarray(radii)[cand_ids] ** 2
+        hit = (d2 <= r2) & (t + jnp.sqrt(jnp.maximum(r2 - d2, 0.0)) >= 0)
+        return jnp.where(hit, t - jnp.sqrt(jnp.maximum(r2 - d2, 0.0)),
+                         jnp.inf)
+
+    rng = np.random.default_rng(23)
+    hits = 0
+    for trial in range(8):
+        origin = rng.uniform(-45, 45, spec.dim).astype(np.float32)
+        if trial % 2 == 0:
+            # aim at a random object's center so rays actually hit
+            target = centers[rng.integers(len(ids))]
+            direction = (target - origin).astype(np.float32)
+        else:
+            direction = rng.normal(size=spec.dim).astype(np.float32)
+        dirn = (direction / np.linalg.norm(direction)).astype(np.float32)
+        state, res = query.pick_ray(spec, state, smin, smax,
+                                    origin, direction, np.float32(1e9),
+                                    get_dist,
+                                    (jnp.asarray(origin), jnp.asarray(dirn)))
+        geom = oracle.RayTestGeometry(smin, smax, origin, direction,
+                                      0.0, 1e9)
+        want = oracle.run_pick(spec, keys, tids, geom, 1e9,
+                               lambda g, nearest, oid:
+                               ray_sphere_np(origin, direction, oid))
+        if want is None:
+            assert not bool(res.found), f"trial {trial}"
+        else:
+            hits += 1
+            assert bool(res.found), f"trial {trial}"
+            assert int(res.obj_id) == want[1], f"trial {trial}"
+            # device narrow phase runs in f32, the numpy oracle in f64
+            np.testing.assert_allclose(float(res.distance), want[0],
+                                       rtol=1e-4, atol=1e-4)
+    assert hits > 0  # at least one ray actually hit something
+
+
+@pytest.mark.parametrize("spec", [Index64_3D], ids=lambda s: s.name)
+def test_generic_test_protocol(spec):
+    """query.test with a custom monotone predicate == test_box with the
+    equivalent box predicate."""
+    smin, smax, bmin, bmax, ids = _scene(spec, 150, seed=29)
+    state, keys, tids = _built_layer(spec, smin, smax, bmin, bmax, ids)
+    qmin = np.full(spec.dim, -10.0, np.float32)
+    qmax = np.full(spec.dim, 15.0, np.float32)
+
+    import jax.numpy as jnp
+
+    def should_test(cmin, cmax):
+        return jnp.all((cmin <= jnp.asarray(qmax)[None, :]) &
+                       (cmax >= jnp.asarray(qmin)[None, :]), axis=-1)
+
+    state, res1 = query.test(spec, state, smin, smax, should_test,
+                             result_cap=512)
+    state, res2 = query.test_box(spec, state, smin, smax, (qmin, qmax),
+                                 result_cap=512)
+    assert list(np.asarray(res1.ids)) == list(np.asarray(res2.ids))
+    assert int(res1.count) == int(res2.count)
