@@ -49,8 +49,10 @@ def bench_full_step(n, iters=30, warmup=3, pair_slack=16):
 
     @jax.jit
     def step(bounds_min, bounds_max, obj_ids):
+        # density 1/1000 with sizes 1-10 emits ~3.3 cells/object; cap at 4n
         state = layer.build(spec, jnp.asarray(smin), jnp.asarray(smax),
-                            bounds_min, bounds_max, obj_ids)
+                            bounds_min, bounds_max, obj_ids,
+                            out_capacity=4 * n)
         state, result = layer.scan(spec, state, pair_cap)
         return result.pairs_a, result.pairs_b, result.count, result.overflow
 

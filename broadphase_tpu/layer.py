@@ -172,17 +172,21 @@ def extend(spec: IndexSpec, state: LayerState,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6))
+@functools.partial(jax.jit, static_argnums=(0, 6, 8))
 def build(spec: IndexSpec, system_min, system_max,
           bounds_min, bounds_max, ids,
-          slots_per_axis: int = 2, min_depth=0) -> LayerState:
+          slots_per_axis: int = 2, min_depth=0,
+          out_capacity: Optional[int] = None) -> LayerState:
     """Fused clear + extend + sort for a fresh frame — the hot build path.
 
     Instead of stream-compacting emitted cells with a scatter (slow on TPU),
     invalid slots keep pad keys and the sort (needed anyway) pushes them to
     the tail: compaction falls out of the sort for free.  Capacity is the
-    static ``n * slots_per_axis**dim``.  Semantically identical to
-    ``clear + extend + sort`` (reference ``src/layer.rs:79-121`` + ``:159``).
+    static ``n * slots_per_axis**dim``, optionally sliced down to
+    ``out_capacity`` after the sort (pads live at the tail, so a static
+    slice IS compaction; overflow is flagged if live elements are cut).
+    Semantically identical to ``clear + extend + sort`` (reference
+    ``src/layer.rs:79-121`` + ``:159``).
     """
     system_min = jnp.asarray(system_min, jnp.float32)
     system_max = jnp.asarray(system_max, jnp.float32)
@@ -215,14 +219,24 @@ def build(spec: IndexSpec, system_min, system_max,
         flat_keys = U64(keys.hi.reshape(cap), keys.lo.reshape(cap))
 
     skeys, sids = _sort_now(spec, flat_keys, flat_ids)
+    count = jnp.sum(flat_valid.astype(jnp.int32))
+    overflow = jnp.any(cell_ovf)
+    if out_capacity is not None and out_capacity < cap:
+        if isinstance(skeys, U64):
+            skeys = U64(skeys.hi[:out_capacity], skeys.lo[:out_capacity])
+        else:
+            skeys = skeys[:out_capacity]
+        sids = sids[:out_capacity]
+        overflow = overflow | (count > out_capacity)
+        count = jnp.minimum(count, out_capacity)
     return LayerState(
         keys=skeys,
         ids=sids,
-        count=jnp.sum(flat_valid.astype(jnp.int32)),
+        count=count,
         sorted=jnp.bool_(True),
         min_depth=md,
         invalid_count=jnp.sum((~contained).astype(jnp.int32)),
-        overflow=jnp.any(cell_ovf),
+        overflow=overflow,
     )
 
 

@@ -111,27 +111,19 @@ def expand_runs(starts: jnp.ndarray, pair_capacity: int
     (the offset inside that run).
 
     ``starts`` is the sorted int32 exclusive-prefix-sum of run lengths.
-    Equivalent to ``j = upper_bound(starts, t) - 1`` per t, but built from
-    one sort of (starts ++ iota) + cumsum/cummax + one scatter — no gathers.
-    Slots beyond the total run length return clamped garbage; mask with
-    ``t < total`` downstream.
+    Equivalent to ``j = upper_bound(starts, t) - 1`` per t, but because the
+    query sequence is the *identity* (t = 0..P-1), the search collapses to a
+    histogram: ``j(t) = (#starts <= t) - 1 = cumsum(histogram(starts))[t] - 1``
+    — one scatter-add + one cumsum.  ``starts[j(t)]`` falls out of a
+    scatter-max + running-max forward fill (start values are monotone).
+    No sorts, no gathers.  Slots beyond the total run length return clamped
+    garbage; mask with ``t < total`` downstream.
     """
-    nj = starts.shape[0]
-    t = jnp.arange(pair_capacity, dtype=jnp.int32)
-    vals = jnp.concatenate([starts, t])
-    tag = jnp.concatenate([jnp.zeros(nj, jnp.int32),
-                           jnp.ones(pair_capacity, jnp.int32)])
-    svals, stag = jax.lax.sort((vals, tag), num_keys=2)
-    pos = jnp.arange(nj + pair_capacity, dtype=jnp.int32)
-    qcum = jnp.cumsum(stag)                     # #queries up to & incl here
-    j_here = pos - qcum                          # (#starts before here) - 1
-    # last start value seen so far (starts ascending -> cummax == forward fill)
-    sval_ffill = jax.lax.cummax(jnp.where(stag == 0, svals, jnp.int32(0)))
-    o_here = svals - sval_ffill                  # t - starts[j]
-    t_here = qcum - 1
-    dest = jnp.where(stag == 1, t_here, pair_capacity)
-    j_of_t = jnp.zeros((pair_capacity,), jnp.int32
-                       ).at[dest].set(j_here, mode="drop")
-    o_of_t = jnp.zeros((pair_capacity,), jnp.int32
-                       ).at[dest].set(o_here, mode="drop")
+    P = pair_capacity
+    t = jnp.arange(P, dtype=jnp.int32)
+    hist = jnp.zeros((P,), jnp.int32).at[starts].add(1, mode="drop")
+    j_of_t = jnp.cumsum(hist) - 1                       # #starts <= t, -1
+    smax = jnp.zeros((P,), jnp.int32).at[starts].max(starts, mode="drop")
+    start_of_t = jax.lax.cummax(smax)                   # starts[j(t)]
+    o_of_t = t - start_of_t
     return j_of_t, o_of_t
