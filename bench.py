@@ -74,6 +74,86 @@ def bench_full_step(n, iters=30, warmup=3, pair_slack=16):
     return p50, pairs
 
 
+def bench_ball_pit_2d(n=10_000, iters=20):
+    """The reference's headline config: 2D circles, Index32_2D, min_depth=4
+    (examples/main.rs:364-374), full clear+extend+sort+scan per frame."""
+    import jax
+    import jax.numpy as jnp
+
+    from broadphase_tpu import Index32_2D, layer
+
+    spec = Index32_2D
+    rng = np.random.default_rng(0)
+    radius = rng.uniform(0.004, 0.01, n).astype(np.float32)
+    pos = rng.uniform(0.05, 0.95, (n, 2)).astype(np.float32)
+    smin = np.zeros(2, np.float32)
+    smax = np.ones(2, np.float32)
+    ids = np.arange(n, dtype=np.uint32)
+    pair_cap = 32 * n
+
+    @jax.jit
+    def step(p, r):
+        bmin = p - r[:, None]
+        bmax = p + r[:, None]
+        st = layer.build(spec, jnp.asarray(smin), jnp.asarray(smax),
+                         bmin, bmax, jnp.asarray(ids), min_depth=4)
+        st, res = layer.scan(spec, st, pair_cap)
+        return res.count, res.overflow
+
+    d_pos, d_rad = jax.device_put(pos), jax.device_put(radius)
+    out = step(d_pos, d_rad)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(step(d_pos, d_rad))
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.percentile(times, 50)), int(out[0]), bool(out[1])
+
+
+def bench_queries(n=100_000, iters=30):
+    """test_box / test_ray / pick_ray on a generated scene
+    (BASELINE.md query config)."""
+    import jax
+    import jax.numpy as jnp
+
+    from broadphase_tpu import Index64_3D, layer, query
+
+    spec = Index64_3D
+    smin, smax, bmin, bmax, ids = _scene(spec.dim, n)
+    state = layer.build(spec, jnp.asarray(smin), jnp.asarray(smax),
+                        jnp.asarray(bmin), jnp.asarray(bmax),
+                        jnp.asarray(ids), out_capacity=4 * n)
+    jax.block_until_ready(state)
+
+    qmin = jnp.asarray(smin + 10.0)
+    qmax = jnp.asarray(smin + 60.0)
+    ro = jnp.asarray(smin)
+    rd = jnp.asarray(smax - smin)
+
+    def get_dist(cand_ids, mask, *a):
+        return jnp.where(mask, cand_ids.astype(jnp.float32), jnp.inf)
+
+    box = jax.jit(lambda s: query.test_box(spec, s, smin, smax,
+                                           (qmin, qmax), 65536)[1].count)
+    ray = jax.jit(lambda s: query.test_ray(spec, s, smin, smax, ro, rd,
+                                           0.0, np.inf, 65536)[1].count)
+    pick = jax.jit(lambda s: query.pick_ray(spec, s, smin, smax, ro, rd,
+                                            np.float32(1e9),
+                                            get_dist)[1].obj_id)
+    out = {}
+    for name, fn in (("test_box", box), ("test_ray", ray),
+                     ("pick_ray", pick)):
+        jax.block_until_ready(fn(state))
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(state))
+            times.append((time.perf_counter() - t0) * 1e3)
+        out[name] = float(np.percentile(times, 50))
+    return out
+
+
 def main():
     import jax
 
@@ -84,6 +164,14 @@ def main():
     on_tpu = dev.platform == "tpu"
     n_small = 10_000
     n_big = 1_000_000 if on_tpu else 30_000
+
+    bp_p50, bp_pairs, bp_ovf = bench_ball_pit_2d(n_small)
+    print(f"ball_pit_2d n={n_small}: p50={bp_p50:.3f} ms "
+          f"pairs={bp_pairs} overflow={bp_ovf} "
+          f"(reference: ~6 ms on i5-6600K)", file=sys.stderr)
+
+    q = bench_queries(100_000 if on_tpu else 10_000)
+    print(f"queries on 100k-scene p50 ms: {q}", file=sys.stderr)
 
     p50_small, pairs_small = bench_full_step(n_small)
     print(f"full_step n={n_small}: p50={p50_small:.3f} ms, "

@@ -13,5 +13,12 @@ from .index import (  # noqa: F401
     Index64_2D,
     Index64_3D,
 )
+from . import geom, index, layer, query  # noqa: F401
+from .layer import (  # noqa: F401
+    LayerBuilder,
+    LayerState,
+    ScanResult,
+    TestResult,
+)
 
 __version__ = "0.1.0"

@@ -25,6 +25,7 @@ post-``sort+dedup`` pair list.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Callable, NamedTuple, Optional, Tuple
 
@@ -68,6 +69,53 @@ class TestResult(NamedTuple):
 # ---------------------------------------------------------------------------
 # Construction
 # ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class LayerBuilder:
+    """Static configuration for layers — the TPU analog of the reference's
+    ``LayerBuilder`` (``src/layer.rs:619-696``).
+
+    On TPU the capacity knobs are *required semantics*, not hints: buffers
+    are fixed-shape, so the reference's growable-Vec capacities become hard
+    limits with overflow flags.
+
+    * ``min_depth`` — partitioning knob; pick >= ``ceil(log2(n_devices)
+      / dim)`` for multi-chip scans (reference guidance: log4/log8 of
+      processor count, "better too low than too high",
+      ``src/layer.rs:640-646``).
+    * ``index_capacity`` — tree buffer size (reference ``:652-656``); None =
+      ``n * slots_per_axis**dim`` at build time.
+    * ``collision_capacity`` — pair buffer size (reference ``:658-662``).
+    * ``test_capacity`` — query result buffer size (reference ``:664-668``).
+    """
+
+    min_depth: int = 0
+    slots_per_axis: int = 2
+    index_capacity: Optional[int] = None
+    collision_capacity: int = 1 << 20
+    test_capacity: int = 1 << 16
+
+    def empty(self, spec: IndexSpec, capacity: Optional[int] = None
+              ) -> LayerState:
+        cap = capacity or self.index_capacity
+        if cap is None:
+            raise ValueError("need index_capacity (or capacity arg) for an "
+                             "empty layer")
+        return make_layer(spec, cap, self.min_depth)
+
+    def build(self, spec: IndexSpec, system_min, system_max,
+              bounds_min, bounds_max, ids) -> LayerState:
+        return build(spec, system_min, system_max, bounds_min, bounds_max,
+                     ids, slots_per_axis=self.slots_per_axis,
+                     min_depth=self.min_depth,
+                     out_capacity=self.index_capacity)
+
+    def scan(self, spec: IndexSpec, state: LayerState):
+        return scan(spec, state, self.collision_capacity)
+
+    def scan_filtered(self, spec: IndexSpec, state: LayerState, filter_fn):
+        return scan_filtered(spec, state, self.collision_capacity, filter_fn)
+
 
 def make_layer(spec: IndexSpec, capacity: int, min_depth: int = 0) -> LayerState:
     return LayerState(
@@ -345,16 +393,19 @@ def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
     if filter_fn is not None:
         valid = valid & jnp.asarray(filter_fn(a, b), jnp.bool_)
 
-    # canonical output: sort pairs, dedup (reference src/layer.rs:473-474)
+    # canonical output: sort pairs, dedup (reference src/layer.rs:473-474).
+    # Compaction = a second stable sort on the drop flag: scatters with
+    # data-dependent indices serialize on TPU, sorts don't.
     inv = (~valid).astype(jnp.uint32)
     inv_s, a_s, b_s = jax.lax.sort((inv, a, b), num_keys=3)
     prev_a = jnp.concatenate([a_s[:1] ^ jnp.uint32(1), a_s[:-1]])
     prev_b = jnp.concatenate([b_s[:1], b_s[:-1]])
     keep = (inv_s == 0) & ((a_s != prev_a) | (b_s != prev_b))
-    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    dest = jnp.where(keep, pos, pair_capacity)
-    out_a = jnp.full((pair_capacity,), PAD_ID).at[dest].set(a_s, mode="drop")
-    out_b = jnp.full((pair_capacity,), PAD_ID).at[dest].set(b_s, mode="drop")
+    drop = (~keep).astype(jnp.uint32)
+    a_m = jnp.where(keep, a_s, PAD_ID)
+    b_m = jnp.where(keep, b_s, PAD_ID)
+    _, out_a, out_b = jax.lax.sort((drop, a_m, b_m), num_keys=1,
+                                   is_stable=True)
     pair_count = jnp.sum(keep.astype(jnp.int32))
 
     overflow = pair_overflow
@@ -414,3 +465,55 @@ def scan_result_to_numpy(result: ScanResult):
     a = np.asarray(result.pairs_a, np.uint32)[:cnt]
     b = np.asarray(result.pairs_b, np.uint32)[:cnt]
     return list(zip(a.tolist(), b.tolist()))
+
+
+# ---------------------------------------------------------------------------
+# Equality / checkpointing (reference Eq impl src/layer.rs:582-585 and the
+# Scene-as-checkpoint pattern, SURVEY.md §5)
+# ---------------------------------------------------------------------------
+
+def layers_equal(spec: IndexSpec, a: LayerState, b: LayerState) -> bool:
+    """Host-side equality with the reference's semantics: min_depth + live
+    tree contents + sorted flag (``src/layer.rs:582-585``); temp state
+    (overflow/invalid counters) is excluded like the reference's temp
+    buffers."""
+    ka, ia, ca = tree_to_numpy(spec, a)
+    kb, ib, cb = tree_to_numpy(spec, b)
+    return (int(a.min_depth) == int(b.min_depth)
+            and bool(a.sorted) == bool(b.sorted)
+            and ca == cb
+            and bool(np.array_equal(ka, kb))
+            and bool(np.array_equal(ia, ib)))
+
+
+def layer_to_scene_layer(spec: IndexSpec, state: LayerState):
+    """Serialize the live tree into a utils.scene.SceneLayer (checkpoint)."""
+    from .utils.scene import SceneLayer
+
+    keys, ids, _ = tree_to_numpy(spec, state)
+    return SceneLayer(min_depth=int(state.min_depth), keys=keys, ids=ids,
+                      sorted=bool(state.sorted))
+
+
+def layer_from_scene_layer(spec: IndexSpec, scene_layer,
+                           capacity: Optional[int] = None) -> LayerState:
+    """Restore device state from a serialized SceneLayer (resume path)."""
+    n = len(scene_layer.ids)
+    cap = capacity or max(n, 1)
+    if cap < n:
+        raise ValueError(f"capacity {cap} < serialized tree length {n}")
+    state = make_layer(spec, cap, min_depth=scene_layer.min_depth)
+    keys = bidx.keys_from_numpy(spec, scene_layer.keys)
+    ids = jnp.asarray(np.asarray(scene_layer.ids, np.uint32))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    if spec.bits == 32:
+        new_keys = state.keys.at[idx].set(keys)
+    else:
+        new_keys = U64(state.keys.hi.at[idx].set(keys.hi),
+                       state.keys.lo.at[idx].set(keys.lo))
+    return state._replace(
+        keys=new_keys,
+        ids=state.ids.at[idx].set(ids),
+        count=jnp.int32(n),
+        sorted=jnp.bool_(bool(scene_layer.sorted)),
+    )

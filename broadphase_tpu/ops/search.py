@@ -84,24 +84,27 @@ def upper_bound_i32(sorted_vals: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarr
 def merged_upper_bound(spec: IndexSpec, keys: Key, queries: Key) -> jnp.ndarray:
     """For every query q: #elements of sorted `keys` with key <= q.
 
-    One lax.sort of the concatenated stream + one scatter — no gather loops.
-    Returns int32 (nq,) in query order.
+    Two lax.sorts of the concatenated stream — no gather loops, no scatters.
+    The tag (key=0 < query=1, so upper bound) and the query's position are
+    packed into one u32 column; the second sort on that column alone routes
+    each query's answer back to query order (a sort is far cheaper than a
+    data-dependent scatter on TPU).  Returns int32 (nq,) in query order.
     """
     kcols = bidx.sort_operands(spec, keys)
     qcols = bidx.sort_operands(spec, queries)
     nk = kcols[0].shape[0]
     nq = qcols[0].shape[0]
     vals = tuple(jnp.concatenate([k, q]) for k, q in zip(kcols, qcols))
-    tag = jnp.concatenate([jnp.zeros(nk, jnp.uint32), jnp.ones(nq, jnp.uint32)])
-    payload = jnp.concatenate([jnp.zeros(nk, jnp.int32),
-                               jnp.arange(nq, dtype=jnp.int32)])
-    out = jax.lax.sort(vals + (tag, payload), num_keys=len(vals) + 1)
-    stag, spay = out[-2], out[-1]
+    tagpay = jnp.concatenate([
+        jnp.zeros(nk, jnp.uint32),
+        jnp.uint32(1 << 31) | jnp.arange(nq, dtype=jnp.uint32)])
+    out = jax.lax.sort(vals + (tagpay,), num_keys=len(vals) + 1)
+    stp = out[-1]
+    is_q = (stp >> 31).astype(jnp.int32)
     pos = jnp.arange(nk + nq, dtype=jnp.int32)
-    q_before = jnp.cumsum(stag.astype(jnp.int32)) - stag.astype(jnp.int32)
-    e_here = pos - q_before                    # #keys at positions < here
-    dest = jnp.where(stag == 1, spay, nq)
-    return jnp.zeros((nq,), jnp.int32).at[dest].set(e_here, mode="drop")
+    e_here = pos - (jnp.cumsum(is_q) - is_q)   # #keys at positions < here
+    _, e_sorted = jax.lax.sort((stp, e_here.astype(jnp.uint32)), num_keys=1)
+    return e_sorted[nk:].astype(jnp.int32)
 
 
 def expand_runs(starts: jnp.ndarray, pair_capacity: int
