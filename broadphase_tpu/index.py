@@ -469,3 +469,31 @@ def keys_from_numpy(spec: IndexSpec, arr) -> Key:
     hi = (arr >> np.uint64(32)).astype(np.uint32)
     lo = (arr & np.uint64(0xFFFF_FFFF)).astype(np.uint32)
     return U64(jnp.asarray(hi), jnp.asarray(lo))
+
+
+# ---------------------------------------------------------------------------
+# Debug formatters (reference impl Debug, src/index.rs:297-335)
+# ---------------------------------------------------------------------------
+
+def format_key(spec: IndexSpec, key_value: int) -> str:
+    """Human-readable dump of one packed key: per-axis origin in octal
+    (radix matching the tree fan-out, like the reference's formatter) plus
+    the depth — e.g. ``Index64_3D{origin: (0o0017..., 0o0044..., 0o0021...),
+    depth: 5}``."""
+    depth = key_value & spec.depth_mask
+    morton = (key_value & spec.origin_mask) >> spec.origin_shift
+    axes = []
+    for axis in range(spec.dim):
+        v = 0
+        for i in range(spec.axis_bits):
+            if (morton >> (spec.dim * i + axis)) & 1:
+                v |= 1 << i
+        v <<= 32 - spec.axis_bits
+        axes.append(f"0o{v:011o}")
+    return (f"{spec.name}{{origin: ({', '.join(axes)}), depth: {depth}}}")
+
+
+def format_keys(spec: IndexSpec, keys) -> List[str]:
+    """Vector version over numpy/device keys (debug / logging)."""
+    arr = keys_to_numpy(spec, keys)
+    return [format_key(spec, int(k)) for k in arr]

@@ -315,10 +315,26 @@ def sort(spec: IndexSpec, state: LayerState) -> LayerState:
 par_sort = sort
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
 def merge(spec: IndexSpec, state: LayerState, other: LayerState) -> LayerState:
     """Merge another layer's tree (reference ``src/layer.rs:127-138``):
-    concatenate, adopt the smaller min_depth, mark unsorted."""
+    concatenate, adopt the smaller min_depth, mark unsorted.  Mirrors the
+    reference's warning on mismatched min_depth (``:131-134``) when called
+    eagerly (inside jit the values are traced and the check is skipped)."""
+    try:
+        a, b = int(state.min_depth), int(other.min_depth)
+        if a != b:
+            import logging
+            logging.getLogger("broadphase_tpu").warning(
+                "merging layers with different min_depth (%d != %d); "
+                "adopting the smaller", a, b)
+    except (jax.errors.ConcretizationTypeError, TypeError):
+        pass
+    return _merge_jit(spec, state, other)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _merge_jit(spec: IndexSpec, state: LayerState, other: LayerState
+               ) -> LayerState:
     cap = capacity_of(state)
     ocap = capacity_of(other)
     src = jnp.arange(ocap, dtype=jnp.int32)
@@ -394,17 +410,20 @@ def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
         valid = valid & jnp.asarray(filter_fn(a, b), jnp.bool_)
 
     # canonical output: sort pairs, dedup (reference src/layer.rs:473-474).
-    # Compaction = a second stable sort on the drop flag: scatters with
-    # data-dependent indices serialize on TPU, sorts don't.
-    inv = (~valid).astype(jnp.uint32)
-    inv_s, a_s, b_s = jax.lax.sort((inv, a, b), num_keys=3)
+    # Invalid lanes are pre-masked to PAD pairs so they sort to the tail
+    # without a separate flag column; compaction = a second stable sort on
+    # the drop flag (scatters with data-dependent indices serialize on TPU,
+    # sorts don't).  Object id 0xFFFF_FFFF is reserved as the pad sentinel.
+    a_m = jnp.where(valid, a, PAD_ID)
+    b_m = jnp.where(valid, b, PAD_ID)
+    a_s, b_s = jax.lax.sort((a_m, b_m), num_keys=2)
     prev_a = jnp.concatenate([a_s[:1] ^ jnp.uint32(1), a_s[:-1]])
     prev_b = jnp.concatenate([b_s[:1], b_s[:-1]])
-    keep = (inv_s == 0) & ((a_s != prev_a) | (b_s != prev_b))
+    keep = (a_s != PAD_ID) & ((a_s != prev_a) | (b_s != prev_b))
     drop = (~keep).astype(jnp.uint32)
-    a_m = jnp.where(keep, a_s, PAD_ID)
-    b_m = jnp.where(keep, b_s, PAD_ID)
-    _, out_a, out_b = jax.lax.sort((drop, a_m, b_m), num_keys=1,
+    a_k = jnp.where(keep, a_s, PAD_ID)
+    b_k = jnp.where(keep, b_s, PAD_ID)
+    _, out_a, out_b = jax.lax.sort((drop, a_k, b_k), num_keys=1,
                                    is_stable=True)
     pair_count = jnp.sum(keep.astype(jnp.int32))
 

@@ -180,3 +180,18 @@ def test_round_trip_axis_chacha_style():
     enc = bidx.encode_axis(Index64_3D, jnp.asarray(vals))
     got = np.asarray(bidx.decode_axis(Index64_3D, enc), dtype=np.uint32)
     np.testing.assert_array_equal(got, vals)
+
+
+def test_format_key_round_trips_origin_and_depth():
+    from broadphase_tpu import index as bidx
+    from broadphase_tpu.utils import oracle
+
+    for spec in bidx.ALL_SPECS:
+        origin = tuple(
+            (0x9E3779B9 * (i + 3)) & 0xFFFFFFFF for i in range(spec.dim))
+        origin = tuple(oracle.truncate_to_depth(o, 5) for o in origin)
+        k = oracle.make_key(spec, origin, 5)
+        s = bidx.format_key(spec, k)
+        assert spec.name in s and "depth: 5" in s
+        for o in origin:
+            assert f"0o{o:011o}" in s
