@@ -404,7 +404,8 @@ def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
     j = jnp.clip(j, 0, cap - 1)
     i = jnp.clip(j + 1 + off, 0, cap - 1)
     a = ids[i]                                       # later element (current)
-    b = ids[j]                                       # earlier element (stack)
+    # earlier element (stack): gather-free segmented broadcast of ids[j]
+    b = search.segmented_broadcast(starts, run, ids, pair_capacity)
     valid = (t < total) & (a != b)
     if filter_fn is not None:
         valid = valid & jnp.asarray(filter_fn(a, b), jnp.bool_)

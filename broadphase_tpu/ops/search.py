@@ -130,3 +130,25 @@ def expand_runs(starts: jnp.ndarray, pair_capacity: int
     start_of_t = jax.lax.cummax(smax)                   # starts[j(t)]
     o_of_t = t - start_of_t
     return j_of_t, o_of_t
+
+
+def segmented_broadcast(starts: jnp.ndarray, run: jnp.ndarray,
+                        values: jnp.ndarray, out_size: int) -> jnp.ndarray:
+    """out[t] = values[j(t)] — broadcast each run's value across its output
+    range, without a gather: scatter values at run starts (nonempty runs
+    have strictly increasing, unique starts), then forward-fill with
+    log2(out_size) shift+select passes.  A per-lane gather costs ~8-10 ns/
+    element on TPU; these are pure vector ops."""
+    P = out_size
+    nonempty = run > 0
+    dest = jnp.where(nonempty, starts, P)
+    vals = jnp.zeros((P,), values.dtype).at[dest].set(values, mode="drop")
+    seen = jnp.zeros((P,), jnp.bool_).at[dest].set(True, mode="drop")
+    s = 1
+    while s < P:
+        pv = jnp.concatenate([vals[:s], vals[:-s]])   # shift right by s
+        ps = jnp.concatenate([jnp.zeros((s,), jnp.bool_), seen[:-s]])
+        vals = jnp.where(seen, vals, pv)
+        seen = seen | ps
+        s <<= 1
+    return vals
