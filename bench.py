@@ -70,7 +70,7 @@ def bench_full_step(n, iters=30, warmup=3, pair_slack=16):
 
     spec = Index64_3D
     smin, smax, bmin, bmax, ids = _scene(spec.dim, n)
-    pair_cap = pair_slack * n
+    pair_cap = ((pair_slack * n) // 1024) * 1024  # tile-aligned for pallas
 
     @jax.jit
     def step(bounds_min, bounds_max, obj_ids):
@@ -111,7 +111,7 @@ def bench_ball_pit_2d(n=10_000, iters=20):
     smin = np.zeros(2, np.float32)
     smax = np.ones(2, np.float32)
     ids = np.arange(n, dtype=np.uint32)
-    pair_cap = 32 * n
+    pair_cap = ((32 * n) // 1024) * 1024
 
     @jax.jit
     def step(p, r):

@@ -365,6 +365,21 @@ def _merge_jit(spec: IndexSpec, state: LayerState, other: LayerState
 # scan — data-parallel segmented pair expansion
 # ---------------------------------------------------------------------------
 
+def _use_pallas_expand(pair_capacity: int) -> bool:
+    """Pallas expansion kernel: TPU backend only, tile-aligned capacity,
+    opt-out via BROADPHASE_NO_PALLAS=1."""
+    import os
+
+    if os.environ.get("BROADPHASE_NO_PALLAS") == "1":
+        return False
+    if pair_capacity % 1024 != 0:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
                count: jnp.ndarray, pair_capacity: int,
                filter_fn=None, extra_overflow=None) -> ScanResult:
@@ -402,10 +417,17 @@ def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
     t = jnp.arange(pair_capacity, dtype=jnp.int32)
     j, off = search.expand_runs(starts, pair_capacity)
     j = jnp.clip(j, 0, cap - 1)
-    i = jnp.clip(j + 1 + off, 0, cap - 1)
-    a = ids[i]                                       # later element (current)
-    # earlier element (stack): gather-free segmented broadcast of ids[j]
-    b = search.segmented_broadcast(starts, run, ids, pair_capacity)
+    off = jnp.maximum(off, 0)
+    if _use_pallas_expand(pair_capacity):
+        # windowed Pallas kernel: contiguous DMA + lane gather, no HBM
+        # random access (ops/pallas_expand.py)
+        from .ops.pallas_expand import expand_gather
+        a, b = expand_gather(ids, j, off)
+    else:
+        i = jnp.clip(j + 1 + off, 0, cap - 1)
+        a = ids[i]                                   # later element (current)
+        # earlier element (stack): gather-free segmented broadcast
+        b = search.segmented_broadcast(starts, run, ids, pair_capacity)
     valid = (t < total) & (a != b)
     if filter_fn is not None:
         valid = valid & jnp.asarray(filter_fn(a, b), jnp.bool_)
