@@ -110,7 +110,8 @@ def main(argv=None):
     prev = pos - jnp.asarray(
         rng.normal(0, 0.001, (n, 2)).astype(np.float32))
 
-    step = make_step(n, pair_cap=32 * n, brute_force=args.brute_force)
+    pair_cap = -(-32 * n // 1024) * 1024   # tile-aligned for the TPU kernel
+    step = make_step(n, pair_cap=pair_cap, brute_force=args.brute_force)
     pos, prev, _ = step(pos, prev, radius)      # compile
     jax.block_until_ready(pos)
 
