@@ -17,10 +17,12 @@ valid key.
 The sequential stack sweep ``scan_impl`` (``src/layer.rs:550-573``) is
 restructured into a data-parallel two-pass segmented range expansion (see
 :func:`scan`): in Morton order every element's collision partners are exactly
-the contiguous run of its descendants-or-equals, so one vectorized upper-bound
-search per element replaces the stack, and a prefix-sum + gather replaces the
-emission loop.  Output is bit-identical to the reference's
-post-``sort+dedup`` pair list.
+the contiguous run of its descendants-or-equals, so a merged sort-rank pass
+replaces the stack (pass 1), a histogram + cumsum expands the runs into pair
+slots (pass 2), and a Pallas windowed-gather kernel materializes both pair
+sides with no HBM random access (``ops/pallas_expand.py``; XLA fallback off
+TPU).  Output is bit-identical to the reference's post-``sort+dedup`` pair
+list.
 """
 
 from __future__ import annotations

@@ -31,8 +31,6 @@ reference's canonical globally sorted + deduplicated output
 
 from __future__ import annotations
 
-import functools
-import math
 from typing import Callable, NamedTuple, Optional
 
 import jax
