@@ -172,6 +172,41 @@ def bench_queries(n=100_000, iters=30):
     return out
 
 
+def bench_merge_scan_filtered(n=100_000, iters=30):
+    """Precomputed static layer merged into a dynamic one + scan_filtered
+    (BASELINE.md config; reference README.md:28 static-layer pattern)."""
+    import jax
+    import jax.numpy as jnp
+
+    from broadphase_tpu import Index64_3D, layer
+
+    spec = Index64_3D
+    smin, smax, bmin, bmax, ids = _scene(spec.dim, n)
+    half = n // 2
+    static = layer.build(spec, jnp.asarray(smin), jnp.asarray(smax),
+                         jnp.asarray(bmin[:half]), jnp.asarray(bmax[:half]),
+                         jnp.asarray(ids[:half]), out_capacity=4 * half)
+    jax.block_until_ready(static)
+    pair_cap = ((16 * n) // 1024) * 1024
+
+    @jax.jit
+    def step(st, dmin, dmax, dids):
+        # the merge target must hold both trees: size it for the total
+        dyn = layer.build(spec, jnp.asarray(smin), jnp.asarray(smax),
+                          dmin, dmax, dids, out_capacity=4 * n)
+        merged = layer.merge(spec, dyn, st)
+        merged, res = layer.scan_filtered(
+            spec, merged, pair_cap, lambda a, b: (a % 2) == (b % 2))
+        return res.count, res.overflow
+
+    args = (static, jnp.asarray(bmin[half:]), jnp.asarray(bmax[half:]),
+            jnp.asarray(ids[half:]))
+    out = step(*args)
+    jax.block_until_ready(out)
+    p50, _ = _pipelined_p50(step, args, iters=iters, batch=4)
+    return p50, int(out[0]), bool(out[1])
+
+
 def main():
     import jax
 
@@ -190,6 +225,11 @@ def main():
 
     q = bench_queries(100_000 if on_tpu else 10_000)
     print(f"queries on 100k-scene p50 ms: {q}", file=sys.stderr)
+
+    m_p50, m_pairs, m_ovf = bench_merge_scan_filtered(
+        100_000 if on_tpu else 5_000)
+    print(f"merge_static+scan_filtered 100k: p50={m_p50:.3f} ms "
+          f"pairs={m_pairs} overflow={m_ovf}", file=sys.stderr)
 
     p50_small, pairs_small = bench_full_step(n_small)
     print(f"full_step n={n_small}: p50={p50_small:.3f} ms, "

@@ -561,3 +561,26 @@ def layer_from_scene_layer(spec: IndexSpec, scene_layer,
         count=jnp.int32(n),
         sorted=jnp.bool_(bool(scene_layer.sorted)),
     )
+
+
+def scan_auto(spec: IndexSpec, state: LayerState,
+              initial_capacity: int = 1 << 15, max_doublings: int = 12,
+              filter_fn: Optional[Callable] = None
+              ) -> Tuple[LayerState, ScanResult]:
+    """Eager convenience: scan with a growing pair buffer.
+
+    The reference's collision Vec grows transparently; on TPU capacities are
+    static, so this host-side helper retries with doubled ``pair_capacity``
+    (tile-aligned for the Pallas path) until the overflow flag clears.  Each
+    new capacity compiles a fresh executable — use a fixed, generous
+    capacity in production loops and keep this for exploration."""
+    cap = max(1024, -(-initial_capacity // 1024) * 1024)
+    for _ in range(max_doublings + 1):
+        state, result = scan_filtered(spec, state, cap, filter_fn) \
+            if filter_fn is not None else scan(spec, state, cap)
+        if not bool(result.overflow):
+            return state, result
+        cap *= 2
+    raise RuntimeError(
+        f"scan overflowed even at pair_capacity={cap // 2}; the scene may "
+        "be degenerate (many objects in one cell)")

@@ -149,3 +149,14 @@ def test_profiling_utils():
     stats = profiling.timed(f, jnp.arange(1000), iters=3, warmup=1)
     assert stats["p50_ms"] >= 0
     profiling.device_memory_stats()  # must not raise
+
+
+def test_scan_auto_grows_until_fit():
+    spec = Index64_3D
+    smin, smax, bmin, bmax, ids = _scene(spec, 500, seed=8)
+    st = layer.build(spec, smin, smax, bmin, bmax, ids)
+    # start tiny so at least one doubling must happen
+    st, res = layer.scan_auto(spec, st, initial_capacity=64)
+    assert not bool(res.overflow)
+    _, ref = layer.scan(spec, st, 64 * 1024)
+    assert layer.scan_result_to_numpy(res) == layer.scan_result_to_numpy(ref)
