@@ -107,3 +107,22 @@ def test_native_scene_io_interops_with_python_codec():
         d = native.scene_load(p2)
         np.testing.assert_array_equal(d["layer"]["keys"], nk)
         np.testing.assert_array_equal(d["collisions"], pairs)
+
+
+def test_fuzz_many_seeds_device_vs_native():
+    """Property-style sweep: 10 deterministic scenes, pair-for-pair parity."""
+    n = 1500
+    P = 96 * 1024
+    for seed in range(10):
+        sc = gen.gen_boxes(count=n, density=1.0 / 1000.0,
+                           size_range=(0.5, 12.0), seed=seed)
+        st = layer.build(SPEC, sc.system_min, sc.system_max,
+                         sc.bounds_min, sc.bounds_max, sc.ids)
+        st, res = layer.scan(SPEC, st, P)
+        assert not bool(res.overflow), seed
+        got = layer.scan_result_to_numpy(res)
+        nk, ni, _ = native.extend(sc.system_min, sc.system_max,
+                                  sc.bounds_min, sc.bounds_max, sc.ids)
+        nk, ni = native.sort_tree(nk, ni)
+        want = [(int(a), int(b)) for a, b in native.scan_seq(nk, ni)]
+        assert got == want, f"seed {seed}: {len(got)} vs {len(want)}"
