@@ -14,6 +14,7 @@ vs_baseline = (1e6 objects / p50) / (1e4 objects / 6 ms): 100.0 means the
 """
 
 import json
+import os
 import sys
 import time
 
@@ -87,13 +88,50 @@ def bench_full_step(n, iters=30, warmup=3, pair_slack=16):
     if bool(out[3]):
         print(f"WARNING: n={n} overflowed buffers", file=sys.stderr)
 
+    if os.environ.get("BROADPHASE_VERIFY") == "1":
+        _verify_against_native(spec, smin, smax, bmin, bmax, ids, n, out)
+
     p50, lat = _pipelined_p50(step, (d_bmin, d_bmax, d_ids),
                               iters=90 if n < 100_000 else iters,
                               warmup=warmup, batch=30 if n < 100_000 else 4)
     print(f"  (n={n}: blocking-latency p50 {lat:.2f} ms incl ~30 ms "
           f"host sync)", file=sys.stderr)
     pairs = int(out[2])
-    return p50, pairs
+    return p50, pairs, lat
+
+
+def _verify_against_native(spec, smin, smax, bmin, bmax, ids, n, out):
+    """Pair-for-pair check of the device scan against the C++ sequential
+    oracle (native/broadphase_host.cpp) at benchmark scale — re-proves
+    correctness of the production (Pallas) path for every perf change
+    (VERDICT.md round 1, next-round item #2).  Opt-in: BROADPHASE_VERIFY=1."""
+    import jax
+    import jax.numpy as jnp
+
+    from broadphase_tpu import layer
+    from broadphase_tpu.utils import native
+
+    print(f"VERIFY n={n}: rebuilding tree on device and comparing the "
+          f"device scan pair-for-pair vs native.scan_seq ...", file=sys.stderr)
+    t0 = time.perf_counter()
+    state = layer.build(spec, jnp.asarray(smin), jnp.asarray(smax),
+                        jnp.asarray(bmin), jnp.asarray(bmax),
+                        jnp.asarray(ids), out_capacity=4 * n)
+    jax.block_until_ready(state)
+    keys_np, ids_np, cnt = layer.tree_to_numpy(spec, state)
+    want = native.scan_seq(keys_np, ids_np,
+                           pair_slack=max(4, 24_000_000 // max(cnt, 1)))
+    got_count = int(out[2])
+    got = np.stack([np.asarray(out[0], np.uint32)[:got_count],
+                    np.asarray(out[1], np.uint32)[:got_count]], axis=1)
+    if got.shape != want.shape or not np.array_equal(got, want):
+        nbad = (int(np.sum(np.any(got != want[:len(got)], axis=1)))
+                if got.shape == want.shape else -1)
+        raise SystemExit(
+            f"VERIFY FAILED at n={n}: device {got.shape[0]} pairs vs native "
+            f"{want.shape[0]} pairs, mismatched rows={nbad}")
+    print(f"VERIFY n={n}: OK — {want.shape[0]} pairs bit-identical "
+          f"({time.perf_counter() - t0:.1f} s)", file=sys.stderr)
 
 
 def bench_ball_pit_2d(n=10_000, iters=20):

@@ -369,17 +369,47 @@ def _merge_jit(spec: IndexSpec, state: LayerState, other: LayerState
 
 def _use_pallas_expand(pair_capacity: int) -> bool:
     """Pallas expansion kernel: TPU backend only, tile-aligned capacity,
-    opt-out via BROADPHASE_NO_PALLAS=1."""
+    opt-out via BROADPHASE_NO_PALLAS=1, opt-in off-TPU (interpret mode)
+    via BROADPHASE_FORCE_PALLAS=1 (for parity tests of the kernel path)."""
     import os
 
     if os.environ.get("BROADPHASE_NO_PALLAS") == "1":
         return False
     if pair_capacity % 1024 != 0:
         return False
+    if os.environ.get("BROADPHASE_FORCE_PALLAS") == "1":
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def canonical_pairs(a: jnp.ndarray, b: jnp.ndarray, valid: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Canonical pair post-pass (reference ``src/layer.rs:473-474``):
+    value-sort the (a, b) pair list, drop duplicates, compact to the front.
+
+    Invalid lanes are pre-masked to PAD pairs so they sort to the tail
+    without a separate flag column; compaction is a second stable sort
+    (scatters with data-dependent indices serialize on TPU, sorts don't).
+    Because kept pairs are already (a, b)-sorted and object id
+    0xFFFF_FFFF is reserved, the compaction sort needs only ONE key
+    column: a stable sort on ``a`` (drops forced to PAD) preserves the
+    (a, b) order of kept pairs and pushes drops to the tail.
+
+    Returns (pairs_a, pairs_b, count) with PAD_ID beyond count.
+    """
+    a_m = jnp.where(valid, a, PAD_ID)
+    b_m = jnp.where(valid, b, PAD_ID)
+    a_s, b_s = jax.lax.sort((a_m, b_m), num_keys=2)
+    prev_a = jnp.concatenate([a_s[:1] ^ jnp.uint32(1), a_s[:-1]])
+    prev_b = jnp.concatenate([b_s[:1], b_s[:-1]])
+    keep = (a_s != PAD_ID) & ((a_s != prev_a) | (b_s != prev_b))
+    a_k = jnp.where(keep, a_s, PAD_ID)
+    b_k = jnp.where(keep, b_s, PAD_ID)
+    out_a, out_b = jax.lax.sort((a_k, b_k), num_keys=1, is_stable=True)
+    return out_a, out_b, jnp.sum(keep.astype(jnp.int32))
 
 
 def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
@@ -421,10 +451,11 @@ def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
     j = jnp.clip(j, 0, cap - 1)
     off = jnp.maximum(off, 0)
     if _use_pallas_expand(pair_capacity):
-        # windowed Pallas kernel: contiguous DMA + lane gather, no HBM
-        # random access (ops/pallas_expand.py)
+        # multi-window Pallas kernel: contiguous DMA + lane gather, loops
+        # windows until every lookup resolves (ops/pallas_expand.py)
         from .ops.pallas_expand import expand_gather
-        a, b = expand_gather(ids, j, off)
+        interpret = jax.default_backend() != "tpu"
+        a, b = expand_gather(ids, j, off, t < total, interpret=interpret)
     else:
         i = jnp.clip(j + 1 + off, 0, cap - 1)
         a = ids[i]                                   # later element (current)
@@ -434,23 +465,7 @@ def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
     if filter_fn is not None:
         valid = valid & jnp.asarray(filter_fn(a, b), jnp.bool_)
 
-    # canonical output: sort pairs, dedup (reference src/layer.rs:473-474).
-    # Invalid lanes are pre-masked to PAD pairs so they sort to the tail
-    # without a separate flag column; compaction = a second stable sort on
-    # the drop flag (scatters with data-dependent indices serialize on TPU,
-    # sorts don't).  Object id 0xFFFF_FFFF is reserved as the pad sentinel.
-    a_m = jnp.where(valid, a, PAD_ID)
-    b_m = jnp.where(valid, b, PAD_ID)
-    a_s, b_s = jax.lax.sort((a_m, b_m), num_keys=2)
-    prev_a = jnp.concatenate([a_s[:1] ^ jnp.uint32(1), a_s[:-1]])
-    prev_b = jnp.concatenate([b_s[:1], b_s[:-1]])
-    keep = (a_s != PAD_ID) & ((a_s != prev_a) | (b_s != prev_b))
-    drop = (~keep).astype(jnp.uint32)
-    a_k = jnp.where(keep, a_s, PAD_ID)
-    b_k = jnp.where(keep, b_s, PAD_ID)
-    _, out_a, out_b = jax.lax.sort((drop, a_k, b_k), num_keys=1,
-                                   is_stable=True)
-    pair_count = jnp.sum(keep.astype(jnp.int32))
+    out_a, out_b, pair_count = canonical_pairs(a, b, valid)
 
     overflow = pair_overflow
     if extra_overflow is not None:

@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 from jax.sharding import Mesh
 
-from broadphase_tpu import Index32_2D, Index64_3D
+from broadphase_tpu import Index32_2D, Index64_2D, Index64_3D
 from broadphase_tpu.parallel import (
     gather_pairs,
     make_sharded_step,
@@ -39,7 +39,7 @@ def _oracle_pairs(spec, smin, smax, bmin, bmax, ids, min_depth):
     return oracle.scan(spec, keys, tids)
 
 
-@pytest.mark.parametrize("spec", [Index64_3D, Index32_2D],
+@pytest.mark.parametrize("spec", [Index64_3D, Index64_2D, Index32_2D],
                          ids=lambda s: s.name)
 @pytest.mark.parametrize("n_dev", [1, 4, 8])
 def test_sharded_scan_matches_oracle(spec, n_dev):
