@@ -17,8 +17,9 @@ valid key.
 The sequential stack sweep ``scan_impl`` (``src/layer.rs:550-573``) is
 restructured into a data-parallel two-pass segmented range expansion (see
 :func:`scan`): in Morton order every element's collision partners are exactly
-the contiguous run of its descendants-or-equals, so a merged sort-rank pass
-replaces the stack (pass 1), a histogram + cumsum expands the runs into pair
+the contiguous run of its descendants-or-equals, so an adjacent-LCA
+reverse-cummin pass replaces the stack (pass 1, sort- and gather-free), a
+histogram + cumsum expands the runs into pair
 slots (pass 2), and a Pallas windowed-gather kernel materializes both pair
 sides with no HBM random access (``ops/pallas_expand.py``; XLA fallback off
 TPU).  Output is bit-identical to the reference's post-``sort+dedup`` pair
@@ -268,17 +269,23 @@ def build(spec: IndexSpec, system_min, system_max,
     else:
         flat_keys = U64(keys.hi.reshape(cap), keys.lo.reshape(cap))
 
-    skeys, sids = _sort_now(spec, flat_keys, flat_ids)
     count = jnp.sum(flat_valid.astype(jnp.int32))
     overflow = jnp.any(cell_ovf)
     if out_capacity is not None and out_capacity < cap:
-        if isinstance(skeys, U64):
-            skeys = U64(skeys.hi[:out_capacity], skeys.lo[:out_capacity])
-        else:
-            skeys = skeys[:out_capacity]
-        sids = sids[:out_capacity]
+        # compact live cells to the front (log-shift passes — cheaper than
+        # sorting the empty emission slots) and slice BEFORE the sort, so
+        # the sort runs over out_capacity lanes instead of n * S
+        from .ops.compact import stable_compact
+        cols = bidx.sort_operands(spec, flat_keys) + (flat_ids,)
+        fills = (jnp.uint32(0xFFFF_FFFF),) * len(cols)
+        compacted, _cnt = stable_compact(flat_valid, cols, fills)
+        compacted = tuple(c[:out_capacity] for c in compacted)
+        flat_keys = bidx.key_from_columns(spec, compacted[:-1])
+        flat_ids = compacted[-1]
         overflow = overflow | (count > out_capacity)
         count = jnp.minimum(count, out_capacity)
+
+    skeys, sids = _sort_now(spec, flat_keys, flat_ids)
     return LayerState(
         keys=skeys,
         ids=sids,
@@ -385,18 +392,20 @@ def _use_pallas_expand(pair_capacity: int) -> bool:
         return False
 
 
-def canonical_pairs(a: jnp.ndarray, b: jnp.ndarray, valid: jnp.ndarray
+def canonical_pairs(a: jnp.ndarray, b: jnp.ndarray, valid: jnp.ndarray,
+                    compaction: str = "shift"
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Canonical pair post-pass (reference ``src/layer.rs:473-474``):
     value-sort the (a, b) pair list, drop duplicates, compact to the front.
 
     Invalid lanes are pre-masked to PAD pairs so they sort to the tail
-    without a separate flag column; compaction is a second stable sort
-    (scatters with data-dependent indices serialize on TPU, sorts don't).
-    Because kept pairs are already (a, b)-sorted and object id
-    0xFFFF_FFFF is reserved, the compaction sort needs only ONE key
-    column: a stable sort on ``a`` (drops forced to PAD) preserves the
-    (a, b) order of kept pairs and pushes drops to the tail.
+    without a separate flag column.  After the sort, duplicates are
+    adjacent; the dedup-compaction is a log-shift ``stable_compact``
+    (``ceil(log2(P))`` shift+select vector passes) rather than a second
+    full ``lax.sort`` — data-dependent scatters serialize on TPU, and a
+    sort pays O(P log P) compare-exchange passes for what is a pure
+    stable partition.  ``compaction="sort"`` keeps the old stable-sort
+    path (drops forced to PAD, single-key stable sort) for A/B profiling.
 
     Returns (pairs_a, pairs_b, count) with PAD_ID beyond count.
     """
@@ -406,6 +415,11 @@ def canonical_pairs(a: jnp.ndarray, b: jnp.ndarray, valid: jnp.ndarray
     prev_a = jnp.concatenate([a_s[:1] ^ jnp.uint32(1), a_s[:-1]])
     prev_b = jnp.concatenate([b_s[:1], b_s[:-1]])
     keep = (a_s != PAD_ID) & ((a_s != prev_a) | (b_s != prev_b))
+    if compaction == "shift":
+        from .ops.compact import stable_compact
+        (out_a, out_b), count = stable_compact(keep, (a_s, b_s),
+                                               (PAD_ID, PAD_ID))
+        return out_a, out_b, count
     a_k = jnp.where(keep, a_s, PAD_ID)
     b_k = jnp.where(keep, b_s, PAD_ID)
     out_a, out_b = jax.lax.sort((a_k, b_k), num_keys=1, is_stable=True)
@@ -431,9 +445,9 @@ def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
     # In Morton order, the partners of element j are exactly the elements in
     # (j, e_j) where e_j = upper_bound(descendant_max(key_j)): the contiguity
     # invariant behind the reference's stack sweep (SURVEY.md §3.2).
-    # merged_upper_bound = one sort + cumsum (no gather loops; see ops.search).
-    dmax = bidx.descendant_max(spec, keys)
-    e = search.merged_upper_bound(spec, keys, dmax)
+    # descendant_run_ends = adjacent-LCA clz + per-depth reverse cummins:
+    # no sorts, no gathers (see ops.search).
+    e = search.descendant_run_ends(spec, keys, bidx.depth_of(spec, keys))
     e = jnp.minimum(e, count)
     j_idx = jnp.arange(cap, dtype=jnp.int32)
     run = jnp.where(j_idx < count, jnp.maximum(e - (j_idx + 1), 0), 0)
@@ -447,16 +461,18 @@ def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
 
     # Pass 2 — flat emission: pair slot t -> (j, i = j + 1 + offset)
     t = jnp.arange(pair_capacity, dtype=jnp.int32)
-    j, off = search.expand_runs(starts, pair_capacity)
-    j = jnp.clip(j, 0, cap - 1)
-    off = jnp.maximum(off, 0)
     if _use_pallas_expand(pair_capacity):
-        # multi-window Pallas kernel: contiguous DMA + lane gather, loops
-        # windows until every lookup resolves (ops/pallas_expand.py)
-        from .ops.pallas_expand import expand_gather
+        # Pallas kernel: j/off recovered in-kernel by binary search over a
+        # bounded window of nonempty-run starts (no scatters anywhere),
+        # then multi-window id resolution (ops/pallas_expand.py)
+        from .ops.pallas_expand import expand_pairs
         interpret = jax.default_backend() != "tpu"
-        a, b = expand_gather(ids, j, off, t < total, interpret=interpret)
+        a, b = expand_pairs(ids, starts, run, total, pair_capacity,
+                            interpret=interpret)
     else:
+        j, off = search.expand_runs(starts, pair_capacity)
+        j = jnp.clip(j, 0, cap - 1)
+        off = jnp.maximum(off, 0)
         i = jnp.clip(j + 1 + off, 0, cap - 1)
         a = ids[i]                                   # later element (current)
         # earlier element (stack): gather-free segmented broadcast

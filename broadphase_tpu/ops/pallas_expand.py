@@ -1,31 +1,35 @@
-"""Pallas TPU kernel: multi-window segmented pair-expansion gather.
+"""Pallas TPU kernel: segmented pair expansion from run starts.
 
-Produces both sides of the candidate-pair list from the sorted id array:
+Produces both sides of the candidate-pair list from the sorted id array and
+the per-element descendant-run structure (reference hot loop
+``src/layer.rs:550-573`` restructured; SURVEY.md §7.5):
 
-    a[t] = ids[j[t] + 1 + o[t]]        (the descendant / later element)
-    b[t] = ids[j[t]]                   (the ancestor / stack element)
+    pair slot t lies in run j:   starts[j] <= t < starts[j] + run[j]
+    a[t] = ids[j + 1 + (t - starts[j])]    (descendant / later element)
+    b[t] = ids[j]                          (ancestor / stack element)
 
-XLA lowers these data-dependent gathers to ~8-10 ns/element on TPU (no
-per-lane gather hardware path), costing ~190 ms at 16M pairs.  This kernel
-exploits the run structure instead: ``j`` is non-decreasing in t and within
-a 1024-pair tile the needed indices *usually* fall in one contiguous 4096-id
-window — but not always.  Two adversarial shapes break any single-window
-scheme (confirmed wrong in round 1, VERDICT.md Weak #1):
+Two generations of this design:
 
-  * a descendant run longer than the window (one big box — a ground plane,
-    a merged static layer — overlapping many small ones) puts ``i = j+1+o``
-    arbitrarily far past ``j``;
-  * two short runs separated by a long stretch of empty runs put two ``j``
-    values arbitrarily far apart inside one tile.
+* Round 1 computed ``j(t)``/``off(t)`` in XLA with a histogram + cummax
+  over the pair buffer — two data-dependent scatters over the element
+  array, which serialize at ~10 ns/element on TPU (measured 89 ms of a
+  268 ms step at 1M).
+* This version computes ``j``/``off`` inside the kernel.  The caller
+  compacts ``starts`` to NONEMPTY runs only (log-shift compaction, no
+  scatters) and precomputes one scalar per 1024-slot tile: ``j0`` = the
+  compacted index of the run covering the tile's first slot.  Because
+  every nonempty run covers at least one slot, the runs intersecting a
+  tile span at most 1025 consecutive compacted entries, so one aligned
+  2048-entry window DMA is sufficient *by construction* — the kernel
+  binary-searches it per lane (11 steps) to recover j and the run start.
 
-So the kernel loops: while any lookup in the tile is unresolved, DMA the
-aligned 4096-id window based at the *minimum unresolved index* (which is
-therefore inside the window — guaranteed progress), resolve every in-window
-lookup with ``take_along_axis(..., axis=1)`` (the lane gather Mosaic
-supports) over the window's rows, and repeat.  Benign tiles take exactly one
-iteration; adversarial tiles take as many as they need; no lookup is ever
-clamped.  Slots flagged invalid by the caller (``t >= total``) resolve to
-PAD immediately, so fully-dead tail tiles skip the DMA entirely.
+The id lookups ``ids[j]``/``ids[j+1+off]`` still have unbounded span (a
+long run reads far ahead; adjacent runs may be far apart), so they keep
+the round-1 multi-window resolution loop: DMA the 4096-id window at the
+minimum unresolved index until every lookup resolves (guaranteed
+progress, nothing clamped).  Mosaic cannot carry vectors through
+``scf.while``, so vector state lives in scratch refs and the loop carries
+one scalar.
 
 Interpret mode is used off-TPU, so the same kernel is testable on CPU.
 """
@@ -43,73 +47,121 @@ LANES = 128
 SUBLANES = 8                       # int32 HBM tiling: (8, 128)
 TILE_ROWS = 8                      # T = 8 x 128 = 1024 pairs per grid step
 TILE = TILE_ROWS * LANES
-WIN_BLOCKS = 4                     # window = 4 x (8 x 128) = 4096 ids
+WIN_BLOCKS = 4                     # id window = 4 x (8 x 128) = 4096 ids
 WIN_ROWS = WIN_BLOCKS * SUBLANES
 WIN = WIN_ROWS * LANES
+SWIN_BLOCKS = 2                    # starts window = 2048 entries
+SWIN_ROWS = SWIN_BLOCKS * SUBLANES
+SWIN = SWIN_ROWS * LANES
 
 PAD_ID = 0xFFFF_FFFF
 _HUGE = 0x7FFF_FFFF
 
 
-def _expand_kernel(j_ref, o_ref, valid_ref, ids_hbm, a_ref, b_ref,
-                   win, res_a_ref, res_b_ref, sems):
-    # Mosaic cannot carry vectors through scf.while (round-2 lesson:
-    # "failed to legalize scf.yield"), so all vector state lives in the
-    # output/scratch refs and the loop carries ONE scalar: the number of
-    # still-unresolved lookups.
+def _gather_window(win, rows, idx, acc_dtype):
+    """acc[r, l] = win[idx[r, l] // LANES, idx[r, l] % LANES] via the
+    row-loop + take_along_axis pattern (the lane gather Mosaic supports)."""
+    row, col = idx // LANES, idx % LANES
+    acc = jnp.zeros(idx.shape, acc_dtype)
+    for w in range(rows):
+        rowvec = jnp.broadcast_to(win[w, :][None, :], idx.shape)
+        acc = jnp.where(row == w,
+                        jnp.take_along_axis(rowvec, col, axis=1), acc)
+    return acc
+
+
+def _expand_kernel(j0_ref, total_ref, sv_hbm, oj_hbm, ids_hbm,
+                   a_ref, b_ref,
+                   svwin, ojwin, idwin, res_a_ref, res_b_ref,
+                   sem_s, sems):
+    g = pl.program_id(0)
+    t0 = g * TILE
     rows_total = ids_hbm.shape[0]
-    valid = valid_ref[:]                          # (TILE_ROWS, LANES) int32
-    j = j_ref[:]
-    o = o_ref[:]
-    idx_b = j
-    idx_a = j + 1 + o
+    s_rows_total = sv_hbm.shape[0]
+
+    # ---- slot coordinates and validity (from the prefetched total scalar)
+    tau = (jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0) * LANES
+           + jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1))
+    t = t0 + tau
+    valid = (t < total_ref[0]).astype(jnp.int32)
 
     a_ref[:] = jnp.full((TILE_ROWS, LANES), PAD_ID, jnp.uint32)
     b_ref[:] = jnp.full((TILE_ROWS, LANES), PAD_ID, jnp.uint32)
-    res_a_ref[:] = 1 - valid                      # invalid slots: PAD, done
+    res_a_ref[:] = 1 - valid
     res_b_ref[:] = 1 - valid
 
+    # ---- starts window: one aligned 2048-entry DMA is always enough.
+    # Nonempty runs cover >= 1 slot each, so sv[j0 + q] >= t0 + q: every run
+    # intersecting this tile lies in [j0, j0 + 1024], and aligning the base
+    # down to a 1024-entry block keeps the top within base + 2047.
+    j0 = jnp.maximum(j0_ref[g], 0)
+    base_row = jnp.clip((j0 // TILE) * SUBLANES, 0, s_rows_total - SWIN_ROWS)
+    base_row = pl.multiple_of(base_row, SUBLANES)
+    base = base_row * LANES
+    s_copies = [
+        pltpu.make_async_copy(
+            hbm.at[pl.ds(base_row + blk * SUBLANES, SUBLANES), :],
+            win.at[pl.ds(blk * SUBLANES, SUBLANES), :],
+            sem_s.at[2 * i + blk])
+        for i, (hbm, win) in enumerate(((sv_hbm, svwin), (oj_hbm, ojwin)))
+        for blk in range(SWIN_BLOCKS)
+    ]
+    for c in s_copies:
+        c.start()
+    for c in s_copies:
+        c.wait()
+
+    # ---- per-lane binary search: last window entry with sv <= t
+    sv = svwin[:]
+    lo = jnp.zeros((TILE_ROWS, LANES), jnp.int32)
+    hi = jnp.full((TILE_ROWS, LANES), SWIN, jnp.int32)
+    for _ in range(SWIN.bit_length() - 1):            # 11 steps for 2048
+        mid = (lo + hi) // 2
+        svmid = _gather_window(sv, SWIN_ROWS, mid, jnp.int32)
+        le = svmid <= t
+        lo = jnp.where(le, mid + 1, lo)
+        hi = jnp.where(le, hi, mid)
+    j_loc = jnp.maximum(lo - 1, 0)
+    sv_at = _gather_window(sv, SWIN_ROWS, j_loc, jnp.int32)
+    oj_at = _gather_window(ojwin[:], SWIN_ROWS, j_loc, jnp.int32)
+
+    off = t - sv_at
+    idx_b = oj_at
+    idx_a = oj_at + 1 + off
+
+    # ---- multi-window id resolution (unchanged from round 1)
     def resolve_window(_):
         need_a = res_a_ref[:] == 0
         need_b = res_b_ref[:] == 0
         cand = jnp.minimum(jnp.where(need_a, idx_a, _HUGE),
                            jnp.where(need_b, idx_b, _HUGE))
         m = jnp.min(cand)
-        # align the window base down to a tile boundary; the clip at the
-        # array end only ever moves the base lower, so m stays in-window
-        base_row = jnp.clip((m // TILE) * SUBLANES, 0, rows_total - WIN_ROWS)
-        base_row = pl.multiple_of(base_row, SUBLANES)
-        base = base_row * LANES
+        id_base_row = jnp.clip((m // TILE) * SUBLANES, 0,
+                               rows_total - WIN_ROWS)
+        id_base_row = pl.multiple_of(id_base_row, SUBLANES)
+        id_base = id_base_row * LANES
 
         copies = [
             pltpu.make_async_copy(
-                ids_hbm.at[pl.ds(base_row + blk * SUBLANES, SUBLANES), :],
-                win.at[pl.ds(blk * SUBLANES, SUBLANES), :],
+                ids_hbm.at[pl.ds(id_base_row + blk * SUBLANES, SUBLANES), :],
+                idwin.at[pl.ds(blk * SUBLANES, SUBLANES), :],
                 sems.at[blk])
             for blk in range(WIN_BLOCKS)
         ]
         for c in copies:
             c.start()
 
-        loc_a = idx_a - base
-        loc_b = idx_b - base
+        loc_a = idx_a - id_base
+        loc_b = idx_b - id_base
         in_a = need_a & (loc_a >= 0) & (loc_a < WIN)
         in_b = need_b & (loc_b >= 0) & (loc_b < WIN)
         loc_a = jnp.clip(loc_a, 0, WIN - 1)
         loc_b = jnp.clip(loc_b, 0, WIN - 1)
-        row_a, col_a = loc_a // LANES, loc_a % LANES
-        row_b, col_b = loc_b // LANES, loc_b % LANES
 
         for c in copies:
             c.wait()
-        ga = jnp.zeros((TILE_ROWS, LANES), jnp.uint32)
-        gb = jnp.zeros((TILE_ROWS, LANES), jnp.uint32)
-        for w in range(WIN_ROWS):
-            rowvec = jnp.broadcast_to(win[w, :][None, :], (TILE_ROWS, LANES))
-            ga = jnp.where(row_a == w,
-                           jnp.take_along_axis(rowvec, col_a, axis=1), ga)
-            gb = jnp.where(row_b == w,
-                           jnp.take_along_axis(rowvec, col_b, axis=1), gb)
+        ga = _gather_window(idwin[:], WIN_ROWS, loc_a, jnp.uint32)
+        gb = _gather_window(idwin[:], WIN_ROWS, loc_b, jnp.uint32)
         a_ref[:] = jnp.where(in_a, ga, a_ref[:])
         b_ref[:] = jnp.where(in_b, gb, b_ref[:])
         new_res_a = res_a_ref[:] | in_a.astype(jnp.int32)
@@ -122,55 +174,81 @@ def _expand_kernel(j_ref, o_ref, valid_ref, ids_hbm, a_ref, b_ref,
     jax.lax.while_loop(lambda r: r > 0, resolve_window, unresolved0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def expand_gather(ids: jnp.ndarray, j_of_t: jnp.ndarray,
-                  o_of_t: jnp.ndarray, valid: jnp.ndarray,
-                  interpret: bool = False):
-    """(a, b) = (ids[j+1+o], ids[j]) where ``valid``; PAD_ID elsewhere.
+def _pad_rows(x, fill):
+    """Pad a 1-D array so (a) any aligned starts window fits and (b) the
+    row count is a multiple of the DMA block."""
+    n = x.shape[0]
+    padded = (-(-n // TILE)) * TILE + SWIN
+    return jnp.pad(x, (0, padded - n), constant_values=fill)
 
-    ids u32 (cap,); j/o int32 (P,), valid bool/int32 (P,), P a multiple of
-    1024.  For valid slots j and j+1+o must be in [0, cap); there is NO
-    window-locality requirement (the kernel loops windows until every
-    lookup resolves).  ids is padded to a multiple of 1024 internally."""
-    P = j_of_t.shape[0]
+
+@functools.partial(jax.jit, static_argnames=("pair_capacity", "interpret"))
+def expand_pairs(ids: jnp.ndarray, starts: jnp.ndarray, run: jnp.ndarray,
+                 total: jnp.ndarray, pair_capacity: int,
+                 interpret: bool = False):
+    """(a, b) pair sides for every slot t < total; PAD_ID elsewhere.
+
+    ids u32 (cap,): sorted element ids.  starts/run int32 (cap,): exclusive
+    prefix sum of run lengths and the lengths themselves.  total: int32
+    scalar (= starts[-1] + run[-1]).  pair_capacity: static multiple of
+    1024.  Slots t >= total resolve to PAD immediately.
+    """
+    from .compact import stable_compact
+
+    P = pair_capacity
     assert P % TILE == 0, f"pair capacity must be a multiple of {TILE}"
     cap = ids.shape[0]
-    padded = max(-(-cap // TILE) * TILE, WIN)
-    if padded != cap:
-        ids = jnp.pad(ids, (0, padded - cap))
-    ids2d = ids.reshape(padded // LANES, LANES)
-    grid = P // TILE
-    valid = valid.astype(jnp.int32)
 
-    a, b = pl.pallas_call(
-        _expand_kernel,
-        grid=(grid,),
+    # compact to nonempty runs: (start value, original element index)
+    (sv, oj), _m = stable_compact(
+        run > 0,
+        (starts, jnp.arange(cap, dtype=jnp.int32)),
+        (_HUGE, 0))
+    sv = _pad_rows(sv, _HUGE)
+    oj = _pad_rows(oj, 0)
+
+    # per-tile covering-run index into the compacted array
+    from . import search
+    t0s = jnp.arange(P // TILE, dtype=jnp.int32) * TILE
+    j0s = search.upper_bound_i32(sv, t0s) - 1
+
+    padded_ids = max(-(-cap // TILE) * TILE, WIN)
+    if padded_ids != cap:
+        ids = jnp.pad(ids, (0, padded_ids - cap))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P // TILE,),
         in_specs=[
-            pl.BlockSpec((TILE_ROWS, LANES), lambda g: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_ROWS, LANES), lambda g: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_ROWS, LANES), lambda g: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),     # sv
+            pl.BlockSpec(memory_space=pl.ANY),     # oj
+            pl.BlockSpec(memory_space=pl.ANY),     # ids
         ],
         out_specs=[
-            pl.BlockSpec((TILE_ROWS, LANES), lambda g: (g, 0),
+            pl.BlockSpec((TILE_ROWS, LANES), lambda g, *_: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_ROWS, LANES), lambda g: (g, 0),
+            pl.BlockSpec((TILE_ROWS, LANES), lambda g, *_: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((SWIN_ROWS, LANES), jnp.int32),   # svwin
+            pltpu.VMEM((SWIN_ROWS, LANES), jnp.int32),   # ojwin
+            pltpu.VMEM((WIN_ROWS, LANES), jnp.uint32),   # idwin
+            pltpu.VMEM((TILE_ROWS, LANES), jnp.int32),   # res_a
+            pltpu.VMEM((TILE_ROWS, LANES), jnp.int32),   # res_b
+            pltpu.SemaphoreType.DMA((2 * SWIN_BLOCKS,)),
+            pltpu.SemaphoreType.DMA((WIN_BLOCKS,)),
+        ],
+    )
+    a, b = pl.pallas_call(
+        _expand_kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((P // LANES, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((P // LANES, LANES), jnp.uint32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((WIN_ROWS, LANES), jnp.uint32),
-            pltpu.VMEM((TILE_ROWS, LANES), jnp.int32),
-            pltpu.VMEM((TILE_ROWS, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA((WIN_BLOCKS,)),
-        ],
         interpret=interpret,
-    )(j_of_t.reshape(P // LANES, LANES), o_of_t.reshape(P // LANES, LANES),
-      valid.reshape(P // LANES, LANES), ids2d)
+    )(j0s, jnp.asarray(total, jnp.int32).reshape(1),
+      sv.reshape(-1, LANES), oj.reshape(-1, LANES),
+      ids.reshape(-1, LANES))
     return a.reshape(P), b.reshape(P)

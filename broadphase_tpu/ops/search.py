@@ -107,6 +107,85 @@ def merged_upper_bound(spec: IndexSpec, keys: Key, queries: Key) -> jnp.ndarray:
     return e_sorted[nk:].astype(jnp.int32)
 
 
+def adjacent_lca_depth(spec: IndexSpec, keys: Key) -> jnp.ndarray:
+    """For each adjacent pair in a *sorted* key array: the deepest depth d
+    with ``same_cell_at_depth(keys[i], keys[i+1], d)`` — the depth of the
+    two cells' lowest common ancestor.
+
+    One clz over the adjacent-key XOR: ``level_mask(d)`` covers the top
+    ``dim*d`` bits of the key (``src/index.rs:82-87``), so the LCA depth is
+    ``leading_zeros_from_key_top(xor) // dim`` clamped to ``axis_bits``
+    (differences confined to the depth field mean "same cell at every
+    depth").  Returns int32 of shape (n,); slot n-1 holds the sentinel -1
+    (past the last element every subtree is broken).
+    """
+    ops = spec.ops
+    if spec.bits == 32:
+        x = keys[:-1] ^ keys[1:]
+        if spec.key_bits < 32:
+            x = x << (32 - spec.key_bits)
+        nlz = jax.lax.clz(x).astype(jnp.int32)
+    else:
+        xh = keys.hi[:-1] ^ keys.hi[1:]
+        xl = keys.lo[:-1] ^ keys.lo[1:]
+        s = 64 - spec.key_bits
+        if s:
+            xh = (xh << s) | (xl >> (32 - s))
+            xl = xl << s
+        nlz = jnp.where(xh != jnp.uint32(0),
+                        jax.lax.clz(xh),
+                        jnp.uint32(32) + jax.lax.clz(xl)).astype(jnp.int32)
+    lca = jnp.minimum(nlz // spec.dim, spec.axis_bits)
+    return jnp.concatenate([lca, jnp.full((1,), -1, jnp.int32)])
+
+
+def descendant_run_ends(spec: IndexSpec, keys: Key,
+                        depth: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive end of every element's descendant-or-equal run, sort-free.
+
+    Over a *sorted* key array, element j's collision partners are the
+    contiguous run (j, e_j) with keys in ``(key_j .. descendant_max(key_j)]``
+    (the invariant behind the reference's stack sweep,
+    ``src/layer.rs:550-573``).  Because truncation-at-depth-d equality is an
+    equivalence that chains through adjacent elements, e_j is simply one
+    past the first position i >= j whose :func:`adjacent_lca_depth` drops
+    below depth_j.  "First position >= j with lca < d" is a reverse cummin
+    of positions per depth level d — ``axis_bits + 1`` cheap vector passes,
+    no sorts, no gathers (replaces two full-array ``lax.sort`` calls of the
+    merged-rank formulation; VERDICT round 1 item #3.ii).
+
+    ``depth`` is ``depth_of(keys)``; pad entries (depth > axis_bits) get
+    e = 0.  Returns int32 (n,), values in [0, n].
+
+    On TPU the per-depth suffix mins run in one Pallas kernel (reversed
+    grid + per-depth SMEM carry, ``ops.pallas_runends``); the XLA
+    formulation below (one reverse cummin per depth level) is the
+    off-TPU / opt-out fallback.
+    """
+    n = depth.shape[0]
+    lca = adjacent_lca_depth(spec, keys)
+    d = depth.astype(jnp.int32)
+
+    import os
+    use_pallas = os.environ.get("BROADPHASE_NO_PALLAS") != "1" and (
+        os.environ.get("BROADPHASE_FORCE_PALLAS") == "1"
+        or jax.default_backend() == "tpu")
+    if use_pallas:
+        from .pallas_runends import run_ends
+        return run_ends(lca, d, spec.axis_bits + 1,
+                        interpret=jax.default_backend() != "tpu")
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    big = jnp.int32(2**31 - 1)
+    e = jnp.zeros((n,), jnp.int32)
+    for dd in range(spec.axis_bits + 1):
+        # sentinel lca[n-1] = -1 < dd guarantees a qualifying position in
+        # every suffix, so nxt <= n-1 and e <= n
+        nxt = jax.lax.cummin(jnp.where(lca < dd, pos, big), reverse=True)
+        e = jnp.where(d == dd, nxt + 1, e)
+    return e
+
+
 def expand_runs(starts: jnp.ndarray, pair_capacity: int
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Ragged-run expansion: for each output slot t in [0, pair_capacity),

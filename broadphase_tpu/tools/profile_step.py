@@ -1,0 +1,162 @@
+"""Per-stage profile of the 1M full broadphase step on the real TPU.
+
+Times jitted *prefixes* of the production scan pipeline and reports deltas
+(per CLAUDE.md: isolated single-op micro-benchmarks through the TPU tunnel
+report nonsense; prefix deltas sum exactly to the full-step time).
+
+Run:  python -u -m broadphase_tpu.tools.profile_step [n]
+
+Stages (cumulative prefixes of ``layer.scan_pairs``):
+  build      — quantize + emit + the build sort (layer.build)
+  run_ends   — pass 1: adjacent-LCA reverse-cummin run ends + starts cumsum
+  gather     — pass 2: starts compaction + Pallas expansion kernel (a, b)
+  sort_pairs — canonical sort: value sort of (a, b)
+  full_shift — + dedup mask + log-shift compaction (production path)
+  full_sort  — + dedup mask + stable-sort compaction (A/B alternative)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import index as bidx
+from .. import layer
+from ..index import Index64_3D
+from ..ops import search
+
+
+def _scene(dim, n, seed=0, density=1.0 / 1000.0, size_range=(1.0, 10.0)):
+    rng = np.random.default_rng(seed)
+    extent = (n / density) ** (1.0 / dim)
+    lo, hi = 0.0, float(extent)
+    size = rng.uniform(*size_range, size=(n, dim)).astype(np.float32)
+    bmin = (rng.uniform(lo, hi, size=(n, dim)).astype(np.float32)
+            * ((hi - size_range[1]) / hi)).astype(np.float32)
+    bmax = bmin + size
+    return (np.full(dim, lo, np.float32), np.full(dim, hi, np.float32),
+            bmin, bmax, np.arange(n, dtype=np.uint32))
+
+
+def make_prefixes(spec, smin, smax, n, pair_cap):
+    """Each entry: name -> jitted fn(bmin, bmax, ids) running the pipeline
+    up to and including that stage (returns small reductions so nothing is
+    dead-code-eliminated)."""
+    cap = 4 * n
+
+    def _build(bmin, bmax, ids):
+        return layer.build(spec, jnp.asarray(smin), jnp.asarray(smax),
+                           bmin, bmax, ids, out_capacity=cap)
+
+    def p_build(bmin, bmax, ids):
+        st = _build(bmin, bmax, ids)
+        return st.count, st.ids[::4096].sum()
+
+    def _run_ends(st):
+        e = search.descendant_run_ends(spec, st.keys,
+                                       bidx.depth_of(spec, st.keys))
+        e = jnp.minimum(e, st.count)
+        j_idx = jnp.arange(st.ids.shape[0], dtype=jnp.int32)
+        run = jnp.where(j_idx < st.count, jnp.maximum(e - (j_idx + 1), 0), 0)
+        starts_incl = jnp.cumsum(run)
+        starts = starts_incl - run
+        total = starts_incl[-1]
+        return run, starts, total
+
+    def p_run_ends(bmin, bmax, ids):
+        st = _build(bmin, bmax, ids)
+        run, starts, total = _run_ends(st)
+        return total, starts[::4096].sum()
+
+    def _gather(st, starts, run, total):
+        t = jnp.arange(pair_cap, dtype=jnp.int32)
+        cap_ = st.ids.shape[0]
+        if layer._use_pallas_expand(pair_cap):
+            from ..ops.pallas_expand import expand_pairs
+            a, b = expand_pairs(st.ids, starts, run, total, pair_cap,
+                                interpret=jax.default_backend() != "tpu")
+        else:
+            j, off = search.expand_runs(starts, pair_cap)
+            j = jnp.clip(j, 0, cap_ - 1)
+            off = jnp.maximum(off, 0)
+            i = jnp.clip(j + 1 + off, 0, cap_ - 1)
+            a = st.ids[i]
+            b = search.segmented_broadcast(starts, run, st.ids, pair_cap)
+        valid = (t < total) & (a != b)
+        return a, b, valid
+
+    def p_gather(bmin, bmax, ids):
+        st = _build(bmin, bmax, ids)
+        run, starts, total = _run_ends(st)
+        a, b, valid = _gather(st, starts, run, total)
+        return a[::4096].sum(), b[::4096].sum()
+
+    def p_sort_pairs(bmin, bmax, ids):
+        st = _build(bmin, bmax, ids)
+        run, starts, total = _run_ends(st)
+        a, b, valid = _gather(st, starts, run, total)
+        a_m = jnp.where(valid, a, layer.PAD_ID)
+        b_m = jnp.where(valid, b, layer.PAD_ID)
+        a_s, b_s = jax.lax.sort((a_m, b_m), num_keys=2)
+        return a_s[::4096].sum(), b_s[::4096].sum()
+
+    def p_full_shift(bmin, bmax, ids):
+        st = _build(bmin, bmax, ids)
+        run, starts, total = _run_ends(st)
+        a, b, valid = _gather(st, starts, run, total)
+        out_a, out_b, cnt = layer.canonical_pairs(a, b, valid, "shift")
+        return cnt, out_a[::4096].sum()
+
+    def p_full_sort(bmin, bmax, ids):
+        st = _build(bmin, bmax, ids)
+        run, starts, total = _run_ends(st)
+        a, b, valid = _gather(st, starts, run, total)
+        out_a, out_b, cnt = layer.canonical_pairs(a, b, valid, "sort")
+        return cnt, out_a[::4096].sum()
+
+    return [("build", p_build), ("run_ends", p_run_ends),
+            ("gather", p_gather),
+            ("sort_pairs", p_sort_pairs), ("full_shift", p_full_shift),
+            ("full_sort", p_full_sort)]
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    spec = Index64_3D
+    smin, smax, bmin, bmax, ids = _scene(spec.dim, n)
+    pair_cap = ((16 * n) // 1024) * 1024
+    d_args = tuple(jax.device_put(x) for x in (bmin, bmax, ids))
+
+    print(f"profiling n={n} pair_cap={pair_cap} on "
+          f"{jax.devices()[0].platform}", file=sys.stderr)
+    results = []
+    for name, fn in make_prefixes(spec, smin, smax, n, pair_cap):
+        jfn = jax.jit(fn)
+        t0 = time.perf_counter()
+        jax.block_until_ready(jfn(*d_args))
+        compile_s = time.perf_counter() - t0
+        # pipelined timing: one sync per batch of 8
+        jax.block_until_ready(jfn(*d_args))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [jfn(*d_args) for _ in range(8)]
+            jax.block_until_ready(outs)
+            best = min(best, (time.perf_counter() - t0) / 8 * 1e3)
+        results.append((name, best))
+        print(f"  {name:<11} cum {best:9.3f} ms   (compile {compile_s:.0f}s)",
+              file=sys.stderr)
+
+    print("\nstage deltas:", file=sys.stderr)
+    prev = 0.0
+    for name, cum in results:
+        print(f"  {name:<11} {cum - prev:9.3f} ms", file=sys.stderr)
+        prev = cum
+    print(f"  TOTAL       {results[-1][1]:9.3f} ms", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,16 +1,18 @@
-"""Pallas multi-window pair-expansion kernel vs the XLA reference path.
+"""Pallas pair-expansion kernel vs a numpy reference of the run semantics.
 
 Runs in interpret mode on the CPU mesh so CI exercises the exact kernel
 logic that compiles on TPU (tests/conftest.py pins the cpu backend, which
 makes the scan's production path the XLA one; here we invoke the kernel
 directly, plus force the full scan onto the Pallas path for oracle parity).
 
-The adversarial cases reproduce round-1 VERDICT.md Weak #1 — the shapes
-that silently broke the single-window kernel:
+The adversarial cases cover the shapes that broke earlier generations:
 
   * one descendant run longer than the 4096-id window (a ground plane /
-    merged static layer overlapping many small boxes);
-  * two runs more than a window apart inside one 1024-pair tile.
+    merged static layer overlapping many small boxes) — round-1 silent bug;
+  * two runs more than a window apart inside one 1024-pair tile;
+  * long stretches of EMPTY runs between nonempty ones (the v2 kernel
+    binary-searches a compacted starts window — empties must vanish);
+  * exactly-dense 1-slot runs (1025-entry span = the window bound).
 """
 
 import numpy as np
@@ -20,73 +22,114 @@ import pytest
 from broadphase_tpu import Index64_3D, Index32_2D, layer
 from broadphase_tpu import index as bidx
 from broadphase_tpu.ops import search
-from broadphase_tpu.ops.pallas_expand import TILE, expand_gather
+from broadphase_tpu.ops.pallas_expand import TILE, expand_pairs
 from broadphase_tpu.utils import gen, oracle
 
+PAD = np.uint32(0xFFFFFFFF)
 
-def _expand_via_numpy(ids, j, o, valid):
+
+def _reference(ids, run, P):
+    """Numpy oracle of the run-expansion semantics."""
     ids = np.asarray(ids)
-    j = np.asarray(j)
-    i = j + 1 + np.asarray(o)
-    a = np.where(valid, ids[np.clip(i, 0, len(ids) - 1)], 0xFFFFFFFF)
-    b = np.where(valid, ids[np.clip(j, 0, len(ids) - 1)], 0xFFFFFFFF)
-    return a.astype(np.uint32), b.astype(np.uint32)
+    a = np.full(P, PAD, np.uint32)
+    b = np.full(P, PAD, np.uint32)
+    t = 0
+    for j, r in enumerate(np.asarray(run)):
+        for off in range(int(r)):
+            if t < P:
+                a[t] = ids[j + 1 + off]
+                b[t] = ids[j]
+            t += 1
+    return a, b, min(t, P)
 
 
-def _check(ids, j, o, valid):
-    j = jnp.asarray(j, jnp.int32)
-    o = jnp.asarray(o, jnp.int32)
-    v = jnp.asarray(valid, jnp.bool_)
-    a, b = expand_gather(jnp.asarray(ids, jnp.uint32), j, o, v,
-                         interpret=True)
-    a_want, b_want = _expand_via_numpy(ids, j, o, np.asarray(valid))
+def _check(ids, run, P):
+    run = np.asarray(run, np.int32)
+    cap = len(np.asarray(ids))
+    assert len(run) == cap
+    starts = np.cumsum(run) - run
+    total = int(run.sum())
+    a, b = expand_pairs(jnp.asarray(ids, jnp.uint32),
+                        jnp.asarray(starts, jnp.int32),
+                        jnp.asarray(run, jnp.int32),
+                        jnp.int32(total), P, interpret=True)
+    a_want, b_want, _ = _reference(ids, run, P)
     np.testing.assert_array_equal(np.asarray(a), a_want)
     np.testing.assert_array_equal(np.asarray(b), b_want)
 
 
 def test_single_run_longer_than_window():
-    # One run of 8192 pairs: i = j+1+o walks 8192 ids — double the window.
-    # Round 1's kernel clamped these and returned 4097 wrong ids.
+    # One run of 8192 pairs: i = j+1+o walks 8192 ids — double the id
+    # window.  Round 1's kernel clamped these and returned wrong ids.
     cap = 16384
     ids = np.arange(cap, dtype=np.uint32) * 3 + 1
-    P = 8 * TILE
-    t = np.arange(P)
-    total = 8192
-    _check(ids, np.zeros(P, np.int32), t, t < total)
+    run = np.zeros(cap, np.int32)
+    run[0] = 8192
+    _check(ids, run, 8 * TILE)
 
 
 def test_sparse_tile_runs_far_apart():
-    # Two runs inside ONE tile whose j (and i) are > a window apart.
-    # Round 1's kernel returned ids[4095] instead of ids[6000].
+    # Two runs inside ONE tile whose elements are > an id window apart,
+    # with 5999 empty runs between them in the starts array.
     cap = 16384
     ids = np.arange(cap, dtype=np.uint32) * 7 + 5
-    P = TILE
-    j = np.where(np.arange(P) < 512, 0, 6000).astype(np.int32)
-    o = np.where(np.arange(P) < 512, np.arange(P), np.arange(P) - 512)
-    _check(ids, j, o.astype(np.int32), np.ones(P, bool))
+    run = np.zeros(cap, np.int32)
+    run[0] = 512
+    run[6000] = 512
+    _check(ids, run, TILE)
 
 
-def test_many_scattered_runs_one_tile():
-    # Worst case: every slot in a tile from a different, distant run.
-    cap = 1 << 20
+def test_massive_empty_stretch():
+    # The covering-run window is over COMPACTED starts: a million-element
+    # gap of empty runs must not displace the window.
+    cap = 1 << 17
+    ids = np.arange(cap, dtype=np.uint32)
+    run = np.zeros(cap, np.int32)
+    run[3] = 7
+    run[cap - 2] = 1
+    _check(ids, run, TILE)
+
+
+def test_exactly_dense_single_slot_runs():
+    # Every slot from a different run: a tile spans 1024 consecutive
+    # nonempty entries (+1 covering) = the 2048-window sufficiency bound,
+    # with alignment pushing the base up to 1023 entries below j0.
+    cap = 8192
+    ids = np.arange(cap, dtype=np.uint32) * 5 + 2
+    run = np.zeros(cap, np.int32)
+    run[: cap // 2] = 1          # 4096 one-slot runs -> 4 full tiles
+    _check(ids, run, 4 * TILE)
+
+
+def test_mixed_run_lengths_random():
     rng = np.random.default_rng(3)
+    cap = 1 << 15
     ids = rng.integers(0, 1 << 31, cap, dtype=np.uint32)
-    P = 2 * TILE
-    j = np.sort(rng.integers(0, cap - 2, P).astype(np.int32))
-    o = rng.integers(0, 1, P).astype(np.int32)
-    valid = rng.random(P) < 0.9
-    _check(ids, j, o, valid)
+    run = np.zeros(cap, np.int32)
+    chosen = rng.choice(cap - 64, 500, replace=False)
+    run[chosen] = rng.integers(1, 48, 500)
+    # clamp runs so j + 1 + off stays in range
+    for j in np.nonzero(run)[0]:
+        run[j] = min(run[j], cap - 1 - j)
+    _check(ids, run, ((int(run.sum()) // TILE) + 2) * TILE)
 
 
-def test_all_invalid_tile_emits_pad():
+def test_total_mid_tile_and_dead_tail():
     cap = 4096
     ids = np.arange(cap, dtype=np.uint32)
-    P = TILE
-    a, b = expand_gather(jnp.asarray(ids), jnp.zeros(P, jnp.int32),
-                         jnp.zeros(P, jnp.int32),
-                         jnp.zeros(P, jnp.bool_), interpret=True)
-    assert np.all(np.asarray(a) == 0xFFFFFFFF)
-    assert np.all(np.asarray(b) == 0xFFFFFFFF)
+    run = np.zeros(cap, np.int32)
+    run[10] = 700                 # total = 700: tile 0 half dead, tile 1+ dead
+    _check(ids, run, 4 * TILE)
+
+
+def test_all_empty_emits_pad():
+    cap = 4096
+    ids = np.arange(cap, dtype=np.uint32)
+    a, b = expand_pairs(jnp.asarray(ids), jnp.zeros(cap, jnp.int32),
+                        jnp.zeros(cap, jnp.int32), jnp.int32(0), TILE,
+                        interpret=True)
+    assert np.all(np.asarray(a) == PAD)
+    assert np.all(np.asarray(b) == PAD)
 
 
 @pytest.mark.parametrize("spec,n,seed", [
@@ -94,7 +137,7 @@ def test_all_invalid_tile_emits_pad():
     (Index64_3D, 500, 7),
     (Index32_2D, 2000, 11),
 ])
-def test_expand_gather_matches_xla_path(spec, n, seed):
+def test_expand_pairs_matches_xla_path(spec, n, seed):
     if spec.dim == 3:
         sc = gen.gen_boxes(count=n, density=1.0 / 1000.0, seed=seed)
         smin, smax = sc.system_min, sc.system_max
@@ -110,26 +153,25 @@ def test_expand_gather_matches_xla_path(spec, n, seed):
     st = layer.build(spec, smin, smax, bmin, bmax, ids)
     keys, ids_arr, count = st.keys, st.ids, st.count
     cap = ids_arr.shape[0]
-    dmax = bidx.descendant_max(spec, keys)
-    e = jnp.minimum(search.merged_upper_bound(spec, keys, dmax), count)
+    e = search.descendant_run_ends(spec, keys, bidx.depth_of(spec, keys))
+    e = jnp.minimum(e, count)
     j_idx = jnp.arange(cap, dtype=jnp.int32)
     run = jnp.where(j_idx < count, jnp.maximum(e - (j_idx + 1), 0), 0)
     si = jnp.cumsum(run)
     starts = si - run
-    total = int(si[cap - 1])
+    total = si[cap - 1]
     P = ((32 * n) // TILE + 1) * TILE
+
+    # XLA reference path
     j, o = search.expand_runs(starts, P)
     j = jnp.clip(j, 0, cap - 1)
     o = jnp.maximum(o, 0)
-    t = jnp.arange(P, dtype=jnp.int32)
-
-    # XLA reference path
     i = jnp.clip(j + 1 + o, 0, cap - 1)
     a_want = np.asarray(ids_arr)[np.asarray(i)]
     b_want = np.asarray(search.segmented_broadcast(starts, run, ids_arr, P))
 
-    a, b = expand_gather(ids_arr, j, o, t < total, interpret=True)
-    mask = np.arange(P) < total
+    a, b = expand_pairs(ids_arr, starts, run, total, P, interpret=True)
+    mask = np.arange(P) < int(total)
     np.testing.assert_array_equal(np.asarray(a)[mask], a_want[mask])
     np.testing.assert_array_equal(np.asarray(b)[mask], b_want[mask])
 
