@@ -210,6 +210,40 @@ def bench_queries(n=100_000, iters=30):
     return out
 
 
+def bench_queries_batched(n=100_000, Q=256, iters=30):
+    """Q queries per launch (query.test_box_batch / test_ray_batch): the
+    TPU-native query shape — one replay amortized over the whole batch,
+    reported as per-query microseconds at steady state."""
+    import jax
+    import jax.numpy as jnp
+
+    from broadphase_tpu import Index64_3D, layer, query
+
+    spec = Index64_3D
+    smin, smax, bmin, bmax, ids = _scene(spec.dim, n)
+    state = layer.build(spec, jnp.asarray(smin), jnp.asarray(smax),
+                        jnp.asarray(bmin), jnp.asarray(bmax),
+                        jnp.asarray(ids), out_capacity=4 * n)
+    jax.block_until_ready(state)
+    rng = np.random.default_rng(1)
+    qmin = jnp.asarray(rng.uniform(0, smax[0] * 0.8, (Q, 3)), jnp.float32)
+    qmax = qmin + 50.0
+    ro = jnp.asarray(rng.uniform(0, smax[0], (Q, 3)), jnp.float32)
+    rd = jnp.asarray(rng.uniform(-1, 1, (Q, 3)), jnp.float32)
+
+    box = jax.jit(lambda s, a, b: query.test_box_batch(
+        spec, s, smin, smax, (a, b), 4096)[1].count.sum())
+    ray = jax.jit(lambda s, o, d: query.test_ray_batch(
+        spec, s, smin, smax, o, d, 0.0, np.inf, 4096)[1].count.sum())
+    out = {}
+    for name, fn, args in (("test_box", box, (qmin, qmax)),
+                           ("test_ray", ray, (ro, rd))):
+        p50, _ = _pipelined_p50(lambda *a: fn(state, *a), args,
+                                iters=iters, batch=5)
+        out[name] = p50 * 1e3 / Q          # us per query
+    return out
+
+
 def bench_merge_scan_filtered(n=100_000, iters=30):
     """Precomputed static layer merged into a dynamic one + scan_filtered
     (BASELINE.md config; reference README.md:28 static-layer pattern)."""
@@ -263,6 +297,11 @@ def main():
 
     q = bench_queries(100_000 if on_tpu else 10_000)
     print(f"queries on 100k-scene p50 ms: {q}", file=sys.stderr)
+
+    qb = bench_queries_batched(100_000 if on_tpu else 10_000,
+                               Q=256 if on_tpu else 16)
+    print(f"batched queries (Q per launch) p50 us/query: {qb}",
+          file=sys.stderr)
 
     m_p50, m_pairs, m_ovf = bench_merge_scan_filtered(
         100_000 if on_tpu else 5_000)

@@ -59,12 +59,21 @@ def to_local(system_min, system_max, pts) -> jnp.ndarray:
 
     ((g - min) / size * RANGE) truncated toward zero, saturating — matching
     the Rust `as u32` cast (reference ``src/geom.rs:148-163``).
+
+    The optimization barriers pin the op sequence: XLA's simplifier may
+    otherwise fold the divide-by-constant ``size`` into a reciprocal
+    multiply (or reassociate with the RANGE multiply) depending on the
+    surrounding fusion context, flipping last-ulp results — a fused
+    build+scan step would then quantize a handful of boxes into different
+    cells than a standalone build and break bit-parity with the oracle
+    (observed at 1M: 35 phantom candidate pairs).
     """
     system_min = jnp.asarray(system_min, jnp.float32)
     system_max = jnp.asarray(system_max, jnp.float32)
     pts = jnp.asarray(pts, jnp.float32)
-    size = system_max - system_min
-    v = (pts - system_min) / size * RANGE_MAX_F32
+    size = jax.lax.optimization_barrier(system_max - system_min)
+    ratio = jax.lax.optimization_barrier((pts - system_min) / size)
+    v = ratio * RANGE_MAX_F32
     v = jnp.clip(v, 0.0, jnp.float32(4294967040.0))
     v = jnp.where(jnp.isnan(v), 0.0, v)
     return v.astype(jnp.uint32)

@@ -37,12 +37,17 @@ def stable_compact(keep: jnp.ndarray, arrays: Sequence[jnp.ndarray],
     """Compact ``arrays`` to the front where ``keep`` is True.
 
     keep:    (P,) bool
-    arrays:  same-length 1-D arrays, moved together
+    arrays:  arrays with leading axis P (trailing dims allowed), moved
+             together along axis 0
     fills:   per-array fill value for lanes at or beyond the kept count
 
     Returns ((compacted arrays...), count:int32).
     """
     P = keep.shape[0]
+
+    def _bc(mask, a):
+        return mask.reshape(mask.shape + (1,) * (a.ndim - 1))
+
     drops_excl = jnp.cumsum((~keep).astype(jnp.int32)) \
         - (~keep).astype(jnp.int32)
     # dropped lanes never move (rem = 0): they are dead weight that kept
@@ -53,15 +58,16 @@ def stable_compact(keep: jnp.ndarray, arrays: Sequence[jnp.ndarray],
     while b < P:
         rem_in = jnp.concatenate([rem[b:], jnp.zeros((b,), rem.dtype)])
         recv = (rem_in & b) != 0
-        arrs = [jnp.where(recv,
-                          jnp.concatenate([a[b:], jnp.zeros((b,), a.dtype)]),
+        arrs = [jnp.where(_bc(recv, a),
+                          jnp.concatenate(
+                              [a[b:],
+                               jnp.zeros((b,) + a.shape[1:], a.dtype)]),
                           a)
                 for a in arrs]
         rem = jnp.where(recv, rem_in - b, rem)
         b <<= 1
     count = jnp.sum(keep.astype(jnp.int32))
-    lane = jnp.arange(P, dtype=jnp.int32)
-    out = tuple(jnp.where(lane < count, a,
-                          jnp.asarray(f, dtype=a.dtype))
+    live = jnp.arange(P, dtype=jnp.int32) < count
+    out = tuple(jnp.where(_bc(live, a), a, jnp.asarray(f, dtype=a.dtype))
                 for a, f in zip(arrs, fills))
     return out, count

@@ -69,17 +69,21 @@ def _element_cells(spec: IndexSpec, state: LayerState,
 def _unique_compact(values: jnp.ndarray, mask: jnp.ndarray,
                     result_cap: int) -> TestResult:
     """Sorted unique `values[mask]` into a fixed buffer — the reference's
-    ``results.sort(); results.dedup()`` post-pass (``src/layer.rs:276-277``)."""
+    ``results.sort(); results.dedup()`` post-pass (``src/layer.rs:276-277``).
+    Compaction is the log-shift ``stable_compact`` (vector passes only; a
+    data-dependent scatter would serialize, and batched queries vmap this)."""
+    from .ops.compact import stable_compact
+
     inv = (~mask).astype(jnp.uint32)
     inv_s, v_s = jax.lax.sort((inv, values), num_keys=2)
     prev = jnp.concatenate([v_s[:1] ^ jnp.uint32(1), v_s[:-1]])
     keep = (inv_s == 0) & (v_s != prev)
-    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    count = jnp.sum(keep.astype(jnp.int32))
-    dest = jnp.where(keep & (pos < result_cap), pos, result_cap)
-    out = jnp.full((result_cap,), PAD_ID, jnp.uint32
-                   ).at[dest].set(v_s, mode="drop")
-    return TestResult(out, jnp.minimum(count, result_cap),
+    (vals,), count = stable_compact(keep, (v_s,), (PAD_ID,))
+    cap = vals.shape[0]
+    if cap < result_cap:
+        vals = jnp.pad(vals, (0, result_cap - cap),
+                       constant_values=PAD_ID)
+    return TestResult(vals[:result_cap], jnp.minimum(count, result_cap),
                       count > result_cap)
 
 
@@ -236,6 +240,91 @@ def pick_ray(spec: IndexSpec, state: LayerState, system_min, system_max,
                     jnp.float32)
     d = jnp.where(jnp.isfinite(d) & cand, d, jnp.inf)
     return state, _argmin_pick(d, state.ids, md)
+
+
+# ---------------------------------------------------------------------------
+# Batched queries: Q queries in one launch
+# ---------------------------------------------------------------------------
+#
+# The reference answers queries one at a time (``src/layer.rs:294-352``);
+# on TPU a single query pays one full replay of the element array, so the
+# natural win is amortizing it: the per-element cell replay is
+# query-INDEPENDENT, and under ``jax.vmap`` unbatched operands stay
+# unbatched, so Q queries share one replay and only the per-query
+# predicate + compaction batch.  Each batched row is bit-identical to the
+# corresponding single-query call.
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+def test_box_batch(spec: IndexSpec, state: LayerState,
+                   system_min, system_max, query_bounds, result_cap: int,
+                   max_depth: Optional[int] = None
+                   ) -> Tuple[LayerState, TestResult]:
+    """``test_box`` over a (Q, dim) batch of query AABBs in one launch.
+    Returns a TestResult whose fields carry a leading Q axis."""
+    state = sort(spec, state)
+    qmin = jnp.asarray(query_bounds[0], jnp.float32)
+    qmax = jnp.asarray(query_bounds[1], jnp.float32)
+    cmin, cmax, live = _element_cells(spec, state, system_min, system_max,
+                                      max_depth)
+
+    def one(qmin_i, qmax_i):
+        hit = geom.bounds_overlaps(cmin, cmax, qmin_i[None, :],
+                                   qmax_i[None, :])
+        return _unique_compact(state.ids, hit & live, result_cap)
+
+    return state, jax.vmap(one)(qmin, qmax)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 8, 9))
+def test_ray_batch(spec: IndexSpec, state: LayerState,
+                   system_min, system_max, ray_origins, ray_dirs,
+                   range_min, range_max, result_cap: int,
+                   max_depth: Optional[int] = None
+                   ) -> Tuple[LayerState, TestResult]:
+    """``test_ray`` over (Q, dim) origin/direction batches in one launch.
+    ``range_min``/``range_max`` may be scalars or (Q,) arrays."""
+    state = sort(spec, state)
+    ro = jnp.asarray(ray_origins, jnp.float32)
+    rd = jnp.asarray(ray_dirs, jnp.float32)
+    Q = ro.shape[0]
+    rmn = jnp.broadcast_to(jnp.asarray(range_min, jnp.float32), (Q,))
+    rmx = jnp.broadcast_to(jnp.asarray(range_max, jnp.float32), (Q,))
+
+    def one(ro_i, rd_i, lo_i, hi_i):
+        rmin, rmax, live = ray_intervals(spec, state, system_min,
+                                         system_max, ro_i, rd_i, lo_i, hi_i,
+                                         max_depth)
+        return _unique_compact(state.ids, (rmin < rmax) & live, result_cap)
+
+    return state, jax.vmap(one)(ro, rd, rmn, rmx)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 7, 9))
+def pick_ray_batch(spec: IndexSpec, state: LayerState,
+                   system_min, system_max, ray_origins, ray_dirs,
+                   max_distance, get_dist: Callable, get_dist_args=(),
+                   max_depth: Optional[int] = None
+                   ) -> Tuple[LayerState, PickResult]:
+    """``pick_ray`` over (Q, dim) ray batches; PickResult fields carry a
+    leading Q axis.  ``get_dist`` must be vmap-compatible (pure jnp ops
+    over its array arguments); per-query data goes in ``get_dist_args``
+    with a leading Q axis."""
+    state = sort(spec, state)
+    ro = jnp.asarray(ray_origins, jnp.float32)
+    rd = jnp.asarray(ray_dirs, jnp.float32)
+    Q = ro.shape[0]
+    md = jnp.broadcast_to(jnp.asarray(max_distance, jnp.float32), (Q,))
+
+    def one(ro_i, rd_i, md_i, args_i):
+        rmin, rmax, live = ray_intervals(spec, state, system_min,
+                                         system_max, ro_i, rd_i, 0.0, md_i,
+                                         max_depth)
+        cand = (rmin < rmax) & (rmin < md_i) & live
+        d = jnp.asarray(get_dist(state.ids, cand, *args_i), jnp.float32)
+        d = jnp.where(jnp.isfinite(d) & cand, d, jnp.inf)
+        return _argmin_pick(d, state.ids, md_i)
+
+    return state, jax.vmap(one)(ro, rd, md, tuple(get_dist_args))
 
 
 # ---------------------------------------------------------------------------

@@ -162,3 +162,74 @@ def test_generic_test_protocol(spec):
                                  result_cap=512)
     assert list(np.asarray(res1.ids)) == list(np.asarray(res2.ids))
     assert int(res1.count) == int(res2.count)
+
+
+# ---------------------------------------------------------------------------
+# Batched queries: each row must be bit-identical to the single-query call
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("spec", [Index64_3D, Index32_2D],
+                         ids=lambda s: s.name)
+def test_test_box_batch_matches_single(spec):
+    smin, smax, bmin, bmax, ids = _scene(spec, 300, seed=21)
+    state, _, _ = _built_layer(spec, smin, smax, bmin, bmax, ids)
+    rng = np.random.default_rng(9)
+    Q = 7
+    qmin = rng.uniform(-50, 30, (Q, spec.dim)).astype(np.float32)
+    qmax = qmin + rng.uniform(1, 25, (Q, spec.dim)).astype(np.float32)
+    state, batch = query.test_box_batch(spec, state, smin, smax,
+                                        (qmin, qmax), result_cap=512)
+    for q in range(Q):
+        state, single = query.test_box(spec, state, smin, smax,
+                                       (qmin[q], qmax[q]), result_cap=512)
+        assert int(batch.count[q]) == int(single.count)
+        np.testing.assert_array_equal(np.asarray(batch.ids[q]),
+                                      np.asarray(single.ids))
+        assert bool(batch.overflow[q]) == bool(single.overflow)
+
+
+@pytest.mark.parametrize("spec", [Index64_3D, Index64_2D],
+                         ids=lambda s: s.name)
+def test_test_ray_batch_matches_single(spec):
+    smin, smax, bmin, bmax, ids = _scene(spec, 300, seed=23)
+    state, _, _ = _built_layer(spec, smin, smax, bmin, bmax, ids)
+    rng = np.random.default_rng(11)
+    Q = 6
+    ro = rng.uniform(-50, 50, (Q, spec.dim)).astype(np.float32)
+    rd = rng.uniform(-1, 1, (Q, spec.dim)).astype(np.float32)
+    rd[0, 0] = 0.0                              # axis-parallel case
+    state, batch = query.test_ray_batch(spec, state, smin, smax, ro, rd,
+                                        0.0, np.inf, result_cap=512)
+    for q in range(Q):
+        state, single = query.test_ray(spec, state, smin, smax,
+                                       ro[q], rd[q], 0.0, np.inf,
+                                       result_cap=512)
+        assert int(batch.count[q]) == int(single.count)
+        np.testing.assert_array_equal(np.asarray(batch.ids[q]),
+                                      np.asarray(single.ids))
+
+
+def test_pick_ray_batch_matches_single():
+    import jax.numpy as jnp
+
+    spec = Index64_3D
+    smin, smax, bmin, bmax, ids = _scene(spec, 300, seed=27)
+    state, _, _ = _built_layer(spec, smin, smax, bmin, bmax, ids)
+    rng = np.random.default_rng(13)
+    Q = 5
+    ro = rng.uniform(-50, 50, (Q, 3)).astype(np.float32)
+    rd = rng.uniform(-1, 1, (Q, 3)).astype(np.float32)
+
+    def get_dist(cand_ids, mask, *a):
+        return jnp.where(mask, cand_ids.astype(jnp.float32), jnp.inf)
+
+    state, batch = query.pick_ray_batch(spec, state, smin, smax, ro, rd,
+                                        np.float32(1e9), get_dist)
+    for q in range(Q):
+        state, single = query.pick_ray(spec, state, smin, smax,
+                                       ro[q], rd[q], np.float32(1e9),
+                                       get_dist)
+        assert bool(batch.found[q]) == bool(single.found)
+        assert int(batch.obj_id[q]) == int(single.obj_id)
+        np.testing.assert_allclose(float(batch.distance[q]),
+                                   float(single.distance))

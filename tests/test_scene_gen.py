@@ -100,3 +100,43 @@ def test_scene_header_validation():
     import pytest
     with pytest.raises(ValueError):
         scene.loads(b"NOT_A_SC" + b"\x00" * 20)
+
+
+def test_seed_from_u64_pcg_cross_check():
+    """Independent re-derivation of rand_core 0.5's seed_from_u64 (PCG-XSH-RR
+    with the standard multiplier; state advanced BEFORE output) — catches
+    implementation slips in the production port.  Plus pinned regression
+    vectors of this port's output so any future drift is loud.
+
+    Residual risk (documented in BASELINE.md): no official rand_chacha
+    fixture bytes exist in this environment, so reference-exactness of the
+    expansion and of rand 0.7's f32 sample_single rests on a reading of the
+    rand-core/rand sources; everything downstream is additionally validated
+    by ChaCha RFC vectors, batch==scalar equivalence, and oracle parity of
+    every pipeline consuming the generated scenes.
+    """
+    def pcg_xsh_rr_stream(state):
+        out = []
+        for _ in range(8):
+            state = (state * 6364136223846793005 + 11634580027462260723) \
+                % (1 << 64)
+            xorshifted = (((state >> 18) ^ state) >> 27) % (1 << 32)
+            rot = state >> 59
+            out.append(((xorshifted >> rot)
+                        | (xorshifted << (32 - rot))) % (1 << 32)
+                       if rot else xorshifted)
+        return b"".join(x.to_bytes(4, "little") for x in out)
+
+    for seed in (0, 1, 42, 2**64 - 1):
+        assert gen.seed_from_u64(seed) == pcg_xsh_rr_stream(seed), seed
+
+    # pinned regression vectors (this port's values, not external fixtures)
+    assert gen.seed_from_u64(0).hex() == (
+        "ecf273f981b5cd4587f0467306ad6cad"
+        "d0d0a3e33317e767f29bea72d78a7dfe")
+    assert gen.seed_from_u64(1).hex() == (
+        "ead81d725d26104e899c3bf842ce782e"
+        "bad303da9997d2c2120256ac7366fb1b")
+    r = gen.ChaCha20Rng(0)
+    assert [r.next_u32() for _ in range(4)] == [
+        2180380594, 104652502, 1862083240, 4217733758]
