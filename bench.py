@@ -20,6 +20,16 @@ import time
 
 import numpy as np
 
+# persistent XLA compile cache (shared with tests/conftest.py): Pallas
+# kernels take minutes to compile through the TPU tunnel on first use;
+# reruns must be disk hits.
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_cache")
+os.makedirs(_cache, exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 
 def _scene(dim, n, seed=0, density=1.0 / 1000.0, size_range=(1.0, 10.0)):
     """Deterministic boxes scene shaped like the reference generator's
@@ -210,7 +220,7 @@ def bench_queries(n=100_000, iters=30):
     return out
 
 
-def bench_queries_batched(n=100_000, Q=256, iters=30):
+def bench_queries_batched(n=100_000, Q=64, iters=30):
     """Q queries per launch (query.test_box_batch / test_ray_batch): the
     TPU-native query shape — one replay amortized over the whole batch,
     reported as per-query microseconds at steady state."""
@@ -298,8 +308,10 @@ def main():
     q = bench_queries(100_000 if on_tpu else 10_000)
     print(f"queries on 100k-scene p50 ms: {q}", file=sys.stderr)
 
+    # Q bounded by the (Q, n_cells) temporaries the vmapped replay
+    # allocates: 64 x 400k f32 ~ 100 MB per live stage
     qb = bench_queries_batched(100_000 if on_tpu else 10_000,
-                               Q=256 if on_tpu else 16)
+                               Q=64 if on_tpu else 16)
     print(f"batched queries (Q per launch) p50 us/query: {qb}",
           file=sys.stderr)
 

@@ -272,13 +272,28 @@ def build(spec: IndexSpec, system_min, system_max,
     count = jnp.sum(flat_valid.astype(jnp.int32))
     overflow = jnp.any(cell_ovf)
     if out_capacity is not None and out_capacity < cap:
-        # compact live cells to the front (log-shift passes — cheaper than
-        # sorting the empty emission slots) and slice BEFORE the sort, so
-        # the sort runs over out_capacity lanes instead of n * S
-        from .ops.compact import stable_compact
+        # compact live cells to the front and slice BEFORE the sort, so the
+        # sort runs over out_capacity lanes instead of n * S.  On TPU the
+        # single-pass streaming kernel; off-TPU the log-shift passes.
         cols = bidx.sort_operands(spec, flat_keys) + (flat_ids,)
-        fills = (jnp.uint32(0xFFFF_FFFF),) * len(cols)
-        compacted, _cnt = stable_compact(flat_valid, cols, fills)
+        if _use_pallas_expand(1024):
+            from .ops.pallas_compact import stream_compact
+            pad_n = -(-cap // 1024) * 1024
+            if pad_n != cap:
+                padk = jnp.zeros((pad_n - cap,), jnp.bool_)
+                flat_valid_p = jnp.concatenate([flat_valid, padk])
+                cols = tuple(jnp.concatenate(
+                    [c, jnp.full((pad_n - cap,), 0xFFFF_FFFF, jnp.uint32)])
+                    for c in cols)
+            else:
+                flat_valid_p = flat_valid
+            compacted, _cnt = stream_compact(
+                flat_valid_p, cols,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            from .ops.compact import stable_compact
+            fills = (jnp.uint32(0xFFFF_FFFF),) * len(cols)
+            compacted, _cnt = stable_compact(flat_valid, cols, fills)
         compacted = tuple(c[:out_capacity] for c in compacted)
         flat_keys = bidx.key_from_columns(spec, compacted[:-1])
         flat_ids = compacted[-1]
@@ -301,9 +316,33 @@ def build(spec: IndexSpec, system_min, system_max,
 # sort / merge
 # ---------------------------------------------------------------------------
 
+def _use_pallas_sort() -> bool:
+    """Pallas bitonic sort is OPT-IN only (BROADPHASE_PALLAS_SORT=1): on
+    the real chip it measured slower than lax.sort (35 vs 16 ms at 4Mx3)
+    and its interpret mode is too slow for scan-level CI, so neither the
+    TPU default nor BROADPHASE_FORCE_PALLAS enables it.  It keeps its own
+    dedicated parity tests (tests/test_pallas_sort.py)."""
+    import os
+
+    if os.environ.get("BROADPHASE_NO_PALLAS") == "1":
+        return False
+    return os.environ.get("BROADPHASE_PALLAS_SORT") == "1"
+
+
+def _sort_columns(cols):
+    """Total-order sort of parallel u32 columns (all columns are keys).
+    On TPU: the fused-chunk Pallas bitonic sort (ops/pallas_sort.py);
+    elsewhere lax.sort."""
+    if _use_pallas_sort():
+        from .ops.pallas_sort import sort_u32_columns
+        return sort_u32_columns(cols,
+                                interpret=jax.default_backend() != "tpu")
+    return jax.lax.sort(cols, num_keys=len(cols))
+
+
 def _sort_now(spec: IndexSpec, keys: Key, ids: jnp.ndarray):
     ops = bidx.sort_operands(spec, keys) + (ids,)
-    sorted_ops = jax.lax.sort(ops, num_keys=len(ops))
+    sorted_ops = _sort_columns(ops)
     return bidx.key_from_columns(spec, sorted_ops[:-1]), sorted_ops[-1]
 
 
@@ -411,10 +450,16 @@ def canonical_pairs(a: jnp.ndarray, b: jnp.ndarray, valid: jnp.ndarray,
     """
     a_m = jnp.where(valid, a, PAD_ID)
     b_m = jnp.where(valid, b, PAD_ID)
-    a_s, b_s = jax.lax.sort((a_m, b_m), num_keys=2)
+    a_s, b_s = _sort_columns((a_m, b_m))
     prev_a = jnp.concatenate([a_s[:1] ^ jnp.uint32(1), a_s[:-1]])
     prev_b = jnp.concatenate([b_s[:1], b_s[:-1]])
     keep = (a_s != PAD_ID) & ((a_s != prev_a) | (b_s != prev_b))
+    if compaction == "stream" and a_s.shape[0] % 1024 == 0:
+        # single-pass streaming kernel (ops/pallas_compact.py)
+        from .ops.pallas_compact import stream_compact
+        (out_a, out_b), count = stream_compact(
+            keep, (a_s, b_s), interpret=jax.default_backend() != "tpu")
+        return out_a, out_b, count
     if compaction == "shift":
         from .ops.compact import stable_compact
         (out_a, out_b), count = stable_compact(keep, (a_s, b_s),
@@ -481,7 +526,8 @@ def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
     if filter_fn is not None:
         valid = valid & jnp.asarray(filter_fn(a, b), jnp.bool_)
 
-    out_a, out_b, pair_count = canonical_pairs(a, b, valid)
+    compaction = "stream" if _use_pallas_expand(pair_capacity) else "shift"
+    out_a, out_b, pair_count = canonical_pairs(a, b, valid, compaction)
 
     overflow = pair_overflow
     if extra_overflow is not None:

@@ -193,17 +193,26 @@ def expand_pairs(ids: jnp.ndarray, starts: jnp.ndarray, run: jnp.ndarray,
     scalar (= starts[-1] + run[-1]).  pair_capacity: static multiple of
     1024.  Slots t >= total resolve to PAD immediately.
     """
-    from .compact import stable_compact
-
     P = pair_capacity
     assert P % TILE == 0, f"pair capacity must be a multiple of {TILE}"
     cap = ids.shape[0]
 
     # compact to nonempty runs: (start value, original element index)
-    (sv, oj), _m = stable_compact(
-        run > 0,
-        (starts, jnp.arange(cap, dtype=jnp.int32)),
-        (_HUGE, 0))
+    if cap % TILE == 0:
+        # single-pass streaming kernel
+        from .pallas_compact import stream_compact
+        (sv_u, oj_u), _m = stream_compact(
+            run > 0,
+            (starts, jnp.arange(cap, dtype=jnp.int32)),
+            fills=(_HUGE, 0), interpret=interpret)
+        sv = sv_u.astype(jnp.int32)
+        oj = oj_u.astype(jnp.int32)
+    else:
+        from .compact import stable_compact
+        (sv, oj), _m = stable_compact(
+            run > 0,
+            (starts, jnp.arange(cap, dtype=jnp.int32)),
+            (_HUGE, 0))
     sv = _pad_rows(sv, _HUGE)
     oj = _pad_rows(oj, 0)
 

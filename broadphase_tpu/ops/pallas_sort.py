@@ -129,6 +129,8 @@ def _run_chunk_kernel(cols, k_values, j_top, interpret):
                                 memory_space=pltpu.VMEM)] * n_cols,
         out_shape=[jax.ShapeDtypeStruct((N // LANES, LANES), c.dtype)
                    for c in cols],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*[c.reshape(N // LANES, LANES) for c in cols])
     return tuple(o.reshape(N) for o in out)
@@ -161,9 +163,20 @@ def sort_u32_columns(cols: Sequence[jnp.ndarray], interpret: bool = False
         pad = jnp.full((N - N0,), 0xFFFF_FFFF, jnp.uint32)
         cols = tuple(jnp.concatenate([c, pad]) for c in cols)
 
-    # phase A: all k <= CHUNK, fused into one HBM pass
-    k_values = [1 << p for p in range(1, CHUNK.bit_length())]  # 2..CHUNK
-    cols = _run_chunk_kernel(cols, k_values, CHUNK // 2, interpret)
+    # phase A: all k <= CHUNK.  Mosaic compile time grows ~quadratically
+    # with the unrolled stage count (measured 21st->33s, 105st->466s), so
+    # the 171 stages are split into <=48-stage kernels: ~5 min total
+    # first-compile instead of ~25, for 3 extra bandwidth-bound passes.
+    groups, cur, cur_stages = [], [], 0
+    for p in range(1, CHUNK.bit_length()):          # k = 2 .. CHUNK
+        if cur and cur_stages + p > 48:
+            groups.append(cur)
+            cur, cur_stages = [], 0
+        cur.append(1 << p)
+        cur_stages += p
+    groups.append(cur)
+    for g in groups:
+        cols = _run_chunk_kernel(cols, tuple(g), CHUNK // 2, interpret)
 
     # phases k > CHUNK: XLA crossing stages + fused in-chunk finish
     k = 2 * CHUNK

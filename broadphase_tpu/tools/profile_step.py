@@ -110,17 +110,17 @@ def make_prefixes(spec, smin, smax, n, pair_cap):
         out_a, out_b, cnt = layer.canonical_pairs(a, b, valid, "shift")
         return cnt, out_a[::4096].sum()
 
-    def p_full_sort(bmin, bmax, ids):
+    def p_full_stream(bmin, bmax, ids):
         st = _build(bmin, bmax, ids)
         run, starts, total = _run_ends(st)
         a, b, valid = _gather(st, starts, run, total)
-        out_a, out_b, cnt = layer.canonical_pairs(a, b, valid, "sort")
+        out_a, out_b, cnt = layer.canonical_pairs(a, b, valid, "stream")
         return cnt, out_a[::4096].sum()
 
     return [("build", p_build), ("run_ends", p_run_ends),
             ("gather", p_gather),
             ("sort_pairs", p_sort_pairs), ("full_shift", p_full_shift),
-            ("full_sort", p_full_sort)]
+            ("full_stream", p_full_stream)]
 
 
 def main():
