@@ -111,11 +111,23 @@ def _expand_kernel(j0_ref, total_ref, sv_hbm, oj_hbm, ids_hbm,
     for c in s_copies:
         c.wait()
 
-    # ---- per-lane binary search: last window entry with sv <= t
+    # ---- per-lane search: last window entry with sv <= t.
+    # Rows are sorted, so the row holding the answer is found with
+    # SWIN_ROWS broadcast compares against each row's FIRST entry (much
+    # cheaper than binary-search steps, which need a full row-loop gather
+    # each); then 7 binary steps search within the 128-entry row.
     sv = svwin[:]
-    lo = jnp.zeros((TILE_ROWS, LANES), jnp.int32)
-    hi = jnp.full((TILE_ROWS, LANES), SWIN, jnp.int32)
-    for _ in range(SWIN.bit_length() - 1):            # 11 steps for 2048
+    row_cnt = jnp.zeros((TILE_ROWS, LANES), jnp.int32)
+    for w in range(SWIN_ROWS):
+        # rows are sorted, so the row's first entry is its min — a scalar
+        # reduce + splat compare (Mosaic cannot broadcast (1,1)->(8,128))
+        first = jnp.min(sv[w:w + 1, :])
+        row_cnt = row_cnt + (first <= t).astype(jnp.int32)
+    row = jnp.maximum(row_cnt - 1, 0)       # last row with first entry <= t
+    lo = row * LANES
+    hi = lo + LANES
+    for _ in range(8):                       # 128-entry in-row search
+        # (8 halvings: a 128-wide [lo, hi) range reaches 0 only after 8)
         mid = (lo + hi) // 2
         svmid = _gather_window(sv, SWIN_ROWS, mid, jnp.int32)
         le = svmid <= t
