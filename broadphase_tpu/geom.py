@@ -23,7 +23,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .index import IndexSpec, Key, make_key
+from .index import IndexSpec, Key
+from .ops.u64 import U64
 
 # Largest u32 whose f32 representation is exact (24-bit mantissa):
 # 0xffff_ff00 (reference src/geom.rs:152-153).
@@ -161,17 +162,41 @@ def emit_cells(spec: IndexSpec, lmin: jnp.ndarray, lmax: jnp.ndarray,
     axis_slot = jnp.stack(
         [(slot // (A ** k)) % A for k in range(dim)], axis=-1)     # (S, dim)
 
-    pos = tmin[:, None, :] + axis_slot[None, :, :] * step[:, None, None]
     valid = jnp.all(axis_slot[None, :, :] < naxis[:, None, :], axis=-1)
 
-    keys = make_key(
-        spec,
-        [pos[..., k] for k in range(dim)],
-        jnp.broadcast_to(depth[:, None], (n, S)),
-    )
+    # Morton-encode each axis's A candidate coordinates once ((N, A) lanes
+    # per axis) and OR-combine per slot — the interleave of independent
+    # per-axis spreads IS the Morton code, so this does dim*A*N spread
+    # passes instead of dim*(A**dim)*N (4x fewer for 3D).
+    from .index import encode_axis, key_where
+    ops = spec.ops
+    a_idx = jnp.arange(A, dtype=jnp.uint32)
+    spread_ax = []
+    for axis in range(dim):
+        pvals = tmin[:, axis:axis + 1] + a_idx[None, :] * step[:, None]
+        spread_ax.append(ops.shli(encode_axis(spec, pvals), axis))  # (N, A)
+
+    def _slot_key(s: int) -> Key:
+        morton = None
+        for axis in range(dim):
+            i = (s // (A ** axis)) % A
+            sp = spread_ax[axis]
+            col = sp[:, i] if spec.bits == 32 else U64(sp.hi[:, i],
+                                                      sp.lo[:, i])
+            morton = col if morton is None else ops.or_(morton, col)
+        key = ops.shli(morton, spec.origin_shift)
+        return ops.or_(key, ops.from_u32(jnp.minimum(depth,
+                                                     jnp.uint32(spec.axis_bits))))
+
+    slot_keys = [_slot_key(s) for s in range(S)]
+    if spec.bits == 32:
+        keys = jnp.stack(slot_keys, axis=1)                        # (N, S)
+    else:
+        keys = U64(jnp.stack([k.hi for k in slot_keys], axis=1),
+                   jnp.stack([k.lo for k in slot_keys], axis=1))
+
     # depth 0 emits the single whole-system cell Index::default() == 0
     # (reference src/geom.rs:203-205)
-    from .index import key_where
     keys = key_where(spec, (depth[:, None] == 0),
                      spec.zero_key((n, S)), keys)
     return keys, valid, overflow

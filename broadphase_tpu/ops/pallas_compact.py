@@ -29,9 +29,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-TILE_ROWS = 8
-TILE = TILE_ROWS * LANES
-STAGE_ROWS = 2 * TILE_ROWS          # staging: 2048 entries
+TILE_ROWS = 32                      # 4096 entries/grid step: the grid is
+TILE = TILE_ROWS * LANES            # sequential (carried offsets), so
+STAGE_ROWS = 2 * TILE_ROWS          # bigger tiles amortize per-step latency
 
 
 def _bc(mask, a):
@@ -196,12 +196,19 @@ def stream_compact(keep: jnp.ndarray, cols: Sequence[jnp.ndarray],
     never written (see `_pad_blocks` — output length includes one spare
     fill block and unwritten blocks are prezeroed via jnp.full).
     """
-    N = keep.shape[0]
-    assert N % TILE == 0, f"stream_compact needs a multiple of {TILE}"
+    N0 = keep.shape[0]
     n_cols = len(cols)
     if fills is None:
         fills = (0xFFFF_FFFF,) * n_cols
     assert len(fills) == n_cols
+    N = -(-N0 // TILE) * TILE
+    if N != N0:
+        keep = jnp.concatenate(
+            [keep.astype(jnp.bool_), jnp.zeros((N - N0,), jnp.bool_)])
+        cols = tuple(jnp.concatenate(
+            [jnp.asarray(c, jnp.uint32),
+             jnp.full((N - N0,), f, jnp.uint32)])
+            for c, f in zip(cols, fills))
     n_tiles = N // TILE
     # output gets one spare block so the final partial flush fits
     out_len = N + TILE
@@ -227,8 +234,8 @@ def stream_compact(keep: jnp.ndarray, cols: Sequence[jnp.ndarray],
     )(keep.astype(jnp.int32).reshape(-1, LANES),
       *[jnp.asarray(c, jnp.uint32).reshape(-1, LANES) for c in cols])
     count = outs[-1][0]
-    lane = jnp.arange(N, dtype=jnp.int32)
-    flat = tuple(jnp.where(lane < count, o.reshape(out_len)[:N],
+    lane = jnp.arange(N0, dtype=jnp.int32)
+    flat = tuple(jnp.where(lane < count, o.reshape(out_len)[:N0],
                            jnp.uint32(f))
                  for o, f in zip(outs[:n_cols], fills))
     return flat, count

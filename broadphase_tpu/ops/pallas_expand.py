@@ -15,23 +15,27 @@ Two generations of this design:
   array, which serialize at ~10 ns/element on TPU (measured 89 ms of a
   268 ms step at 1M).
 * This version computes ``j``/``off`` inside the kernel.  The caller
-  compacts ``starts`` to NONEMPTY runs only (log-shift compaction, no
-  scatters) and precomputes one scalar per 1024-slot tile: ``j0`` = the
+  compacts ``starts`` to NONEMPTY runs only (single-pass streaming
+  compaction) and precomputes one scalar per T-slot tile: ``j0`` = the
   compacted index of the run covering the tile's first slot.  Because
   every nonempty run covers at least one slot, the runs intersecting a
-  tile span at most 1025 consecutive compacted entries, so one aligned
-  2048-entry window DMA is sufficient *by construction* — the kernel
-  binary-searches it per lane (11 steps) to recover j and the run start.
+  tile span at most T+1 consecutive compacted entries, so one aligned
+  2T-entry window DMA is sufficient *by construction* — the kernel
+  finds j per lane with a row-first count (rows are sorted, a row's
+  first entry is its min) plus an 8-step in-row binary search.
 
 The id lookups ``ids[j]``/``ids[j+1+off]`` still have unbounded span (a
 long run reads far ahead; adjacent runs may be far apart), so they keep
-the round-1 multi-window resolution loop: DMA the 4096-id window at the
+the round-1 multi-window resolution loop: DMA an aligned id window at the
 minimum unresolved index until every lookup resolves (guaranteed
 progress, nothing clamped).  Mosaic cannot carry vectors through
 ``scf.while``, so vector state lives in scratch refs and the loop carries
 one scalar.
 
-Interpret mode is used off-TPU, so the same kernel is testable on CPU.
+Tile size is a parameter; 1024-slot tiles measured best on the real chip
+(the in-kernel searches gather through row loops whose cost scales with
+the window row count, so larger tiles lose more on search than they gain
+on per-step fixed costs).
 """
 
 from __future__ import annotations
@@ -45,14 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 SUBLANES = 8                       # int32 HBM tiling: (8, 128)
-TILE_ROWS = 8                      # T = 8 x 128 = 1024 pairs per grid step
-TILE = TILE_ROWS * LANES
-WIN_BLOCKS = 4                     # id window = 4 x (8 x 128) = 4096 ids
-WIN_ROWS = WIN_BLOCKS * SUBLANES
-WIN = WIN_ROWS * LANES
-SWIN_BLOCKS = 2                    # starts window = 2048 entries
-SWIN_ROWS = SWIN_BLOCKS * SUBLANES
-SWIN = SWIN_ROWS * LANES
+TILE = 1024                        # kept for callers sizing pair buffers
 
 PAD_ID = 0xFFFF_FFFF
 _HUGE = 0x7FFF_FFFF
@@ -70,147 +67,166 @@ def _gather_window(win, rows, idx, acc_dtype):
     return acc
 
 
-def _expand_kernel(j0_ref, total_ref, sv_hbm, oj_hbm, ids_hbm,
-                   a_ref, b_ref,
-                   svwin, ojwin, idwin, res_a_ref, res_b_ref,
-                   sem_s, sems):
-    g = pl.program_id(0)
-    t0 = g * TILE
-    rows_total = ids_hbm.shape[0]
-    s_rows_total = sv_hbm.shape[0]
+def _make_kernel(t_rows: int, win_rows: int, swin_rows: int):
+    T = t_rows * LANES
+    WIN = win_rows * LANES
+    SWIN = swin_rows * LANES
+    win_blocks = win_rows // SUBLANES
+    swin_blocks = swin_rows // SUBLANES
 
-    # ---- slot coordinates and validity (from the prefetched total scalar)
-    tau = (jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0) * LANES
-           + jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1))
-    t = t0 + tau
-    valid = (t < total_ref[0]).astype(jnp.int32)
+    def kernel(j0_ref, total_ref, sv_hbm, oj_hbm, ids_hbm,
+               a_ref, b_ref,
+               svwin, ojwin, idwin, res_a_ref, res_b_ref,
+               sem_s, sems):
+        g = pl.program_id(0)
+        t0 = g * T
+        rows_total = ids_hbm.shape[0]
+        s_rows_total = sv_hbm.shape[0]
 
-    a_ref[:] = jnp.full((TILE_ROWS, LANES), PAD_ID, jnp.uint32)
-    b_ref[:] = jnp.full((TILE_ROWS, LANES), PAD_ID, jnp.uint32)
-    res_a_ref[:] = 1 - valid
-    res_b_ref[:] = 1 - valid
+        # ---- slot coordinates and validity (from the prefetched total)
+        tau = (jax.lax.broadcasted_iota(jnp.int32, (t_rows, LANES), 0)
+               * LANES
+               + jax.lax.broadcasted_iota(jnp.int32, (t_rows, LANES), 1))
+        t = t0 + tau
+        valid = (t < total_ref[0]).astype(jnp.int32)
 
-    # ---- starts window: one aligned 2048-entry DMA is always enough.
-    # Nonempty runs cover >= 1 slot each, so sv[j0 + q] >= t0 + q: every run
-    # intersecting this tile lies in [j0, j0 + 1024], and aligning the base
-    # down to a 1024-entry block keeps the top within base + 2047.
-    j0 = jnp.maximum(j0_ref[g], 0)
-    base_row = jnp.clip((j0 // TILE) * SUBLANES, 0, s_rows_total - SWIN_ROWS)
-    base_row = pl.multiple_of(base_row, SUBLANES)
-    base = base_row * LANES
-    s_copies = [
-        pltpu.make_async_copy(
-            hbm.at[pl.ds(base_row + blk * SUBLANES, SUBLANES), :],
-            win.at[pl.ds(blk * SUBLANES, SUBLANES), :],
-            sem_s.at[2 * i + blk])
-        for i, (hbm, win) in enumerate(((sv_hbm, svwin), (oj_hbm, ojwin)))
-        for blk in range(SWIN_BLOCKS)
-    ]
-    for c in s_copies:
-        c.start()
-    for c in s_copies:
-        c.wait()
+        a_ref[:] = jnp.full((t_rows, LANES), PAD_ID, jnp.uint32)
+        b_ref[:] = jnp.full((t_rows, LANES), PAD_ID, jnp.uint32)
+        res_a_ref[:] = 1 - valid
+        res_b_ref[:] = 1 - valid
 
-    # ---- per-lane search: last window entry with sv <= t.
-    # Rows are sorted, so the row holding the answer is found with
-    # SWIN_ROWS broadcast compares against each row's FIRST entry (much
-    # cheaper than binary-search steps, which need a full row-loop gather
-    # each); then 7 binary steps search within the 128-entry row.
-    sv = svwin[:]
-    row_cnt = jnp.zeros((TILE_ROWS, LANES), jnp.int32)
-    for w in range(SWIN_ROWS):
-        # rows are sorted, so the row's first entry is its min — a scalar
-        # reduce + splat compare (Mosaic cannot broadcast (1,1)->(8,128))
-        first = jnp.min(sv[w:w + 1, :])
-        row_cnt = row_cnt + (first <= t).astype(jnp.int32)
-    row = jnp.maximum(row_cnt - 1, 0)       # last row with first entry <= t
-    lo = row * LANES
-    hi = lo + LANES
-    for _ in range(8):                       # 128-entry in-row search
-        # (8 halvings: a 128-wide [lo, hi) range reaches 0 only after 8)
-        mid = (lo + hi) // 2
-        svmid = _gather_window(sv, SWIN_ROWS, mid, jnp.int32)
-        le = svmid <= t
-        lo = jnp.where(le, mid + 1, lo)
-        hi = jnp.where(le, hi, mid)
-    j_loc = jnp.maximum(lo - 1, 0)
-    sv_at = _gather_window(sv, SWIN_ROWS, j_loc, jnp.int32)
-    oj_at = _gather_window(ojwin[:], SWIN_ROWS, j_loc, jnp.int32)
-
-    off = t - sv_at
-    idx_b = oj_at
-    idx_a = oj_at + 1 + off
-
-    # ---- multi-window id resolution (unchanged from round 1)
-    def resolve_window(_):
-        need_a = res_a_ref[:] == 0
-        need_b = res_b_ref[:] == 0
-        cand = jnp.minimum(jnp.where(need_a, idx_a, _HUGE),
-                           jnp.where(need_b, idx_b, _HUGE))
-        m = jnp.min(cand)
-        id_base_row = jnp.clip((m // TILE) * SUBLANES, 0,
-                               rows_total - WIN_ROWS)
-        id_base_row = pl.multiple_of(id_base_row, SUBLANES)
-        id_base = id_base_row * LANES
-
-        copies = [
+        # ---- starts window: one aligned 2T-entry DMA is always enough.
+        # Nonempty runs cover >= 1 slot each, so sv[j0 + q] >= t0 + q:
+        # every run intersecting this tile lies in [j0, j0 + T], and
+        # aligning the base down to a T block keeps the top within 2T - 1.
+        j0 = jnp.maximum(j0_ref[g], 0)
+        base_row = jnp.clip((j0 // T) * t_rows, 0, s_rows_total - swin_rows)
+        base_row = pl.multiple_of(base_row, SUBLANES)
+        base = base_row * LANES
+        s_copies = [
             pltpu.make_async_copy(
-                ids_hbm.at[pl.ds(id_base_row + blk * SUBLANES, SUBLANES), :],
-                idwin.at[pl.ds(blk * SUBLANES, SUBLANES), :],
-                sems.at[blk])
-            for blk in range(WIN_BLOCKS)
+                hbm.at[pl.ds(base_row + blk * SUBLANES, SUBLANES), :],
+                win.at[pl.ds(blk * SUBLANES, SUBLANES), :],
+                sem_s.at[swin_blocks * i + blk])
+            for i, (hbm, win) in enumerate(((sv_hbm, svwin),
+                                            (oj_hbm, ojwin)))
+            for blk in range(swin_blocks)
         ]
-        for c in copies:
+        for c in s_copies:
             c.start()
-
-        loc_a = idx_a - id_base
-        loc_b = idx_b - id_base
-        in_a = need_a & (loc_a >= 0) & (loc_a < WIN)
-        in_b = need_b & (loc_b >= 0) & (loc_b < WIN)
-        loc_a = jnp.clip(loc_a, 0, WIN - 1)
-        loc_b = jnp.clip(loc_b, 0, WIN - 1)
-
-        for c in copies:
+        for c in s_copies:
             c.wait()
-        ga = _gather_window(idwin[:], WIN_ROWS, loc_a, jnp.uint32)
-        gb = _gather_window(idwin[:], WIN_ROWS, loc_b, jnp.uint32)
-        a_ref[:] = jnp.where(in_a, ga, a_ref[:])
-        b_ref[:] = jnp.where(in_b, gb, b_ref[:])
-        new_res_a = res_a_ref[:] | in_a.astype(jnp.int32)
-        new_res_b = res_b_ref[:] | in_b.astype(jnp.int32)
-        res_a_ref[:] = new_res_a
-        res_b_ref[:] = new_res_b
-        return jnp.sum(2 - new_res_a - new_res_b)
 
-    unresolved0 = jnp.sum(2 - res_a_ref[:] - res_b_ref[:])
-    jax.lax.while_loop(lambda r: r > 0, resolve_window, unresolved0)
+        # ---- per-lane search: last window entry with sv <= t.
+        sv = svwin[:]
+        row_cnt = jnp.zeros((t_rows, LANES), jnp.int32)
+        for w in range(swin_rows):
+            # rows are sorted: a row's first entry is its min — a scalar
+            # reduce + splat (Mosaic cannot broadcast (1,1) vectors)
+            first = jnp.min(sv[w:w + 1, :])
+            row_cnt = row_cnt + (first <= t).astype(jnp.int32)
+        row = jnp.maximum(row_cnt - 1, 0)   # last row with first <= t
+        lo = row * LANES
+        hi = lo + LANES
+        for _ in range(8):                  # 128-wide range needs 8 halvings
+            mid = (lo + hi) // 2
+            svmid = _gather_window(sv, swin_rows, mid, jnp.int32)
+            le = svmid <= t
+            lo = jnp.where(le, mid + 1, lo)
+            hi = jnp.where(le, hi, mid)
+        j_loc = jnp.maximum(lo - 1, 0)
+        sv_at = _gather_window(sv, swin_rows, j_loc, jnp.int32)
+        oj_at = _gather_window(ojwin[:], swin_rows, j_loc, jnp.int32)
+
+        off = t - sv_at
+        idx_b = oj_at
+        idx_a = oj_at + 1 + off
+
+        # ---- multi-window id resolution
+        def resolve_window(_):
+            need_a = res_a_ref[:] == 0
+            need_b = res_b_ref[:] == 0
+            cand = jnp.minimum(jnp.where(need_a, idx_a, _HUGE),
+                               jnp.where(need_b, idx_b, _HUGE))
+            m = jnp.min(cand)
+            id_base_row = jnp.clip((m // T) * t_rows, 0,
+                                   rows_total - win_rows)
+            id_base_row = pl.multiple_of(id_base_row, SUBLANES)
+            id_base = id_base_row * LANES
+
+            copies = [
+                pltpu.make_async_copy(
+                    ids_hbm.at[pl.ds(id_base_row + blk * SUBLANES,
+                                     SUBLANES), :],
+                    idwin.at[pl.ds(blk * SUBLANES, SUBLANES), :],
+                    sems.at[blk])
+                for blk in range(win_blocks)
+            ]
+            for c in copies:
+                c.start()
+
+            loc_a = idx_a - id_base
+            loc_b = idx_b - id_base
+            in_a = need_a & (loc_a >= 0) & (loc_a < WIN)
+            in_b = need_b & (loc_b >= 0) & (loc_b < WIN)
+            loc_a = jnp.clip(loc_a, 0, WIN - 1)
+            loc_b = jnp.clip(loc_b, 0, WIN - 1)
+
+            for c in copies:
+                c.wait()
+            ga = _gather_window(idwin[:], win_rows, loc_a, jnp.uint32)
+            gb = _gather_window(idwin[:], win_rows, loc_b, jnp.uint32)
+            a_ref[:] = jnp.where(in_a, ga, a_ref[:])
+            b_ref[:] = jnp.where(in_b, gb, b_ref[:])
+            new_res_a = res_a_ref[:] | in_a.astype(jnp.int32)
+            new_res_b = res_b_ref[:] | in_b.astype(jnp.int32)
+            res_a_ref[:] = new_res_a
+            res_b_ref[:] = new_res_b
+            return jnp.sum(2 - new_res_a - new_res_b)
+
+        unresolved0 = jnp.sum(2 - res_a_ref[:] - res_b_ref[:])
+        jax.lax.while_loop(lambda r: r > 0, resolve_window, unresolved0)
+
+    return kernel
 
 
-def _pad_rows(x, fill):
-    """Pad a 1-D array so (a) any aligned starts window fits and (b) the
-    row count is a multiple of the DMA block."""
+def _pad_rows(x, fill, tile, swin):
+    """Pad a 1-D array so any aligned starts window fits."""
     n = x.shape[0]
-    padded = (-(-n // TILE)) * TILE + SWIN
+    padded = (-(-n // tile)) * tile + swin
     return jnp.pad(x, (0, padded - n), constant_values=fill)
 
 
-@functools.partial(jax.jit, static_argnames=("pair_capacity", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("pair_capacity", "interpret",
+                                    "tile_rows"))
 def expand_pairs(ids: jnp.ndarray, starts: jnp.ndarray, run: jnp.ndarray,
                  total: jnp.ndarray, pair_capacity: int,
-                 interpret: bool = False):
+                 interpret: bool = False, tile_rows: int | None = None):
     """(a, b) pair sides for every slot t < total; PAD_ID elsewhere.
 
     ids u32 (cap,): sorted element ids.  starts/run int32 (cap,): exclusive
     prefix sum of run lengths and the lengths themselves.  total: int32
-    scalar (= starts[-1] + run[-1]).  pair_capacity: static multiple of
-    1024.  Slots t >= total resolve to PAD immediately.
+    scalar (= starts[-1] + run[-1]).  pair_capacity: any static size
+    (padded internally to the tile).  Slots t >= total resolve to PAD
+    immediately.
     """
+    if tile_rows is None:
+        # 8 rows (1024 slots) measured best compiled too: the in-kernel
+        # searches gather through row loops that scale with the window
+        # row count, so larger tiles LOSE (66 vs 38 ms at 1M with 32 rows)
+        tile_rows = 8
+    T = tile_rows * LANES
+    win_rows = max(4 * SUBLANES, 2 * tile_rows)
+    swin_rows = 2 * tile_rows
+    WIN = win_rows * LANES
+    SWIN = swin_rows * LANES
+
     P = pair_capacity
-    assert P % TILE == 0, f"pair capacity must be a multiple of {TILE}"
     cap = ids.shape[0]
 
     # compact to nonempty runs: (start value, original element index)
-    if cap % TILE == 0:
+    if cap % 1024 == 0:
         # single-pass streaming kernel
         from .pallas_compact import stream_compact
         (sv_u, oj_u), _m = stream_compact(
@@ -225,51 +241,55 @@ def expand_pairs(ids: jnp.ndarray, starts: jnp.ndarray, run: jnp.ndarray,
             run > 0,
             (starts, jnp.arange(cap, dtype=jnp.int32)),
             (_HUGE, 0))
-    sv = _pad_rows(sv, _HUGE)
-    oj = _pad_rows(oj, 0)
+    sv = _pad_rows(sv, _HUGE, T, SWIN)
+    oj = _pad_rows(oj, 0, T, SWIN)
+
+    # pair capacity padded to the tile size (pad slots are >= total and
+    # resolve to PAD immediately; sliced off on return)
+    Pp = -(-P // T) * T
 
     # per-tile covering-run index into the compacted array
     from . import search
-    t0s = jnp.arange(P // TILE, dtype=jnp.int32) * TILE
+    t0s = jnp.arange(Pp // T, dtype=jnp.int32) * T
     j0s = search.upper_bound_i32(sv, t0s) - 1
 
-    padded_ids = max(-(-cap // TILE) * TILE, WIN)
+    padded_ids = max(-(-cap // T) * T, WIN)
     if padded_ids != cap:
         ids = jnp.pad(ids, (0, padded_ids - cap))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(P // TILE,),
+        grid=(Pp // T,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),     # sv
             pl.BlockSpec(memory_space=pl.ANY),     # oj
             pl.BlockSpec(memory_space=pl.ANY),     # ids
         ],
         out_specs=[
-            pl.BlockSpec((TILE_ROWS, LANES), lambda g, *_: (g, 0),
+            pl.BlockSpec((tile_rows, LANES), lambda g, *_: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_ROWS, LANES), lambda g, *_: (g, 0),
+            pl.BlockSpec((tile_rows, LANES), lambda g, *_: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((SWIN_ROWS, LANES), jnp.int32),   # svwin
-            pltpu.VMEM((SWIN_ROWS, LANES), jnp.int32),   # ojwin
-            pltpu.VMEM((WIN_ROWS, LANES), jnp.uint32),   # idwin
-            pltpu.VMEM((TILE_ROWS, LANES), jnp.int32),   # res_a
-            pltpu.VMEM((TILE_ROWS, LANES), jnp.int32),   # res_b
-            pltpu.SemaphoreType.DMA((2 * SWIN_BLOCKS,)),
-            pltpu.SemaphoreType.DMA((WIN_BLOCKS,)),
+            pltpu.VMEM((swin_rows, LANES), jnp.int32),   # svwin
+            pltpu.VMEM((swin_rows, LANES), jnp.int32),   # ojwin
+            pltpu.VMEM((win_rows, LANES), jnp.uint32),   # idwin
+            pltpu.VMEM((tile_rows, LANES), jnp.int32),   # res_a
+            pltpu.VMEM((tile_rows, LANES), jnp.int32),   # res_b
+            pltpu.SemaphoreType.DMA((2 * (swin_rows // SUBLANES),)),
+            pltpu.SemaphoreType.DMA((win_rows // SUBLANES,)),
         ],
     )
     a, b = pl.pallas_call(
-        _expand_kernel,
+        _make_kernel(tile_rows, win_rows, swin_rows),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((P // LANES, LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((P // LANES, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((Pp // LANES, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((Pp // LANES, LANES), jnp.uint32),
         ],
         interpret=interpret,
     )(j0s, jnp.asarray(total, jnp.int32).reshape(1),
       sv.reshape(-1, LANES), oj.reshape(-1, LANES),
       ids.reshape(-1, LANES))
-    return a.reshape(P), b.reshape(P)
+    return a.reshape(Pp)[:P], b.reshape(Pp)[:P]

@@ -28,8 +28,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-TILE_ROWS = 8
-TILE = TILE_ROWS * LANES
+TILE_ROWS = 32                 # 4096 elements/grid step: sequential grid
+TILE = TILE_ROWS * LANES       # (SMEM carries), so big tiles amortize
+#                                per-step fixed costs
 
 _INF = 0x7FFF_FFFF
 

@@ -114,7 +114,7 @@ def test_ball_pit_example_runs():
     r = subprocess.run(
         [sys.executable, os.path.join(root, "examples", "ball_pit.py"),
          "--balls", "100", "--frames", "5"],
-        capture_output=True, text=True, env=env, cwd=root, timeout=600)
+        capture_output=True, text=True, env=env, cwd=root, timeout=1500)
     assert r.returncode == 0, r.stderr
     assert "frames, 100 balls" in r.stdout
 
