@@ -217,7 +217,10 @@ def expand_pairs(ids: jnp.ndarray, starts: jnp.ndarray, run: jnp.ndarray,
         # row count, so larger tiles LOSE (66 vs 38 ms at 1M with 32 rows)
         tile_rows = 8
     T = tile_rows * LANES
-    win_rows = max(4 * SUBLANES, 2 * tile_rows)
+    # id window = 2 tiles: typical per-tile id spans are ~tile-sized, and
+    # the multi-window loop covers the adversarial long-run/sparse cases;
+    # a smaller window halves every row-loop gather's cost
+    win_rows = 2 * tile_rows
     swin_rows = 2 * tile_rows
     WIN = win_rows * LANES
     SWIN = swin_rows * LANES
