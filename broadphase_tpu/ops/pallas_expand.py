@@ -70,18 +70,35 @@ def _gather_window(win, rows, idx, acc_dtype):
 def _make_kernel(t_rows: int, win_rows: int, swin_rows: int):
     T = t_rows * LANES
     WIN = win_rows * LANES
-    SWIN = swin_rows * LANES
     win_blocks = win_rows // SUBLANES
-    swin_blocks = swin_rows // SUBLANES
 
-    def kernel(j0_ref, total_ref, sv_hbm, oj_hbm, ids_hbm,
-               a_ref, b_ref,
-               svwin, ojwin, idwin, res_a_ref, res_b_ref,
-               sem_s, sems):
+    def kernel(j0_ref, oj0_ref, total_ref, sv_lo, sv_hi, oj_lo, oj_hi,
+               ids_hbm, a_ref, b_ref,
+               idwin, res_a_ref, res_b_ref, sems):
         g = pl.program_id(0)
         t0 = g * T
         rows_total = ids_hbm.shape[0]
-        s_rows_total = sv_hbm.shape[0]
+
+        def start_id_copies(id_base_row):
+            return [
+                pltpu.make_async_copy(
+                    ids_hbm.at[pl.ds(id_base_row + blk * SUBLANES,
+                                     SUBLANES), :],
+                    idwin.at[pl.ds(blk * SUBLANES, SUBLANES), :],
+                    sems.at[blk])
+                for blk in range(win_blocks)
+            ]
+
+        # ---- speculative id window: the covering run's element index
+        # (prefetched) predicts where this tile's id lookups start, so the
+        # DMA overlaps the covering-run search below instead of waiting
+        # for its result
+        spec_base_row = jnp.clip((jnp.maximum(oj0_ref[g], 0) // T) * t_rows,
+                                 0, rows_total - win_rows)
+        spec_base_row = pl.multiple_of(spec_base_row, SUBLANES)
+        spec_copies = start_id_copies(spec_base_row)
+        for c in spec_copies:
+            c.start()
 
         # ---- slot coordinates and validity (from the prefetched total)
         tau = (jax.lax.broadcasted_iota(jnp.int32, (t_rows, LANES), 0)
@@ -95,30 +112,14 @@ def _make_kernel(t_rows: int, win_rows: int, swin_rows: int):
         res_a_ref[:] = 1 - valid
         res_b_ref[:] = 1 - valid
 
-        # ---- starts window: one aligned 2T-entry DMA is always enough.
-        # Nonempty runs cover >= 1 slot each, so sv[j0 + q] >= t0 + q:
-        # every run intersecting this tile lies in [j0, j0 + T], and
-        # aligning the base down to a T block keeps the top within 2T - 1.
-        j0 = jnp.maximum(j0_ref[g], 0)
-        base_row = jnp.clip((j0 // T) * t_rows, 0, s_rows_total - swin_rows)
-        base_row = pl.multiple_of(base_row, SUBLANES)
-        base = base_row * LANES
-        s_copies = [
-            pltpu.make_async_copy(
-                hbm.at[pl.ds(base_row + blk * SUBLANES, SUBLANES), :],
-                win.at[pl.ds(blk * SUBLANES, SUBLANES), :],
-                sem_s.at[swin_blocks * i + blk])
-            for i, (hbm, win) in enumerate(((sv_hbm, svwin),
-                                            (oj_hbm, ojwin)))
-            for blk in range(swin_blocks)
-        ]
-        for c in s_copies:
-            c.start()
-        for c in s_copies:
-            c.wait()
-
-        # ---- per-lane search: last window entry with sv <= t.
-        sv = svwin[:]
+        # ---- starts window: a 2T-entry window is always enough (nonempty
+        # runs cover >= 1 slot, so every run intersecting the tile lies in
+        # [j0, j0 + T], and the window base is j0 aligned down to a T
+        # block).  The two T-blocks arrive as pipelined BlockSpec inputs
+        # whose index maps read the prefetched j0s — Mosaic double-buffers
+        # them across grid steps, unlike the manual DMA this replaces.
+        sv = jnp.concatenate([sv_lo[:], sv_hi[:]], axis=0)
+        oj_win = jnp.concatenate([oj_lo[:], oj_hi[:]], axis=0)
         row_cnt = jnp.zeros((t_rows, LANES), jnp.int32)
         for w in range(swin_rows):
             # rows are sorted: a row's first entry is its min — a scalar
@@ -136,44 +137,24 @@ def _make_kernel(t_rows: int, win_rows: int, swin_rows: int):
             hi = jnp.where(le, hi, mid)
         j_loc = jnp.maximum(lo - 1, 0)
         sv_at = _gather_window(sv, swin_rows, j_loc, jnp.int32)
-        oj_at = _gather_window(ojwin[:], swin_rows, j_loc, jnp.int32)
+        oj_at = _gather_window(oj_win, swin_rows, j_loc, jnp.int32)
 
         off = t - sv_at
         idx_b = oj_at
         idx_a = oj_at + 1 + off
 
         # ---- multi-window id resolution
-        def resolve_window(_):
+        def resolve_with(id_base):
+            """Resolve every in-window lookup against the idwin contents;
+            returns the remaining unresolved count."""
             need_a = res_a_ref[:] == 0
             need_b = res_b_ref[:] == 0
-            cand = jnp.minimum(jnp.where(need_a, idx_a, _HUGE),
-                               jnp.where(need_b, idx_b, _HUGE))
-            m = jnp.min(cand)
-            id_base_row = jnp.clip((m // T) * t_rows, 0,
-                                   rows_total - win_rows)
-            id_base_row = pl.multiple_of(id_base_row, SUBLANES)
-            id_base = id_base_row * LANES
-
-            copies = [
-                pltpu.make_async_copy(
-                    ids_hbm.at[pl.ds(id_base_row + blk * SUBLANES,
-                                     SUBLANES), :],
-                    idwin.at[pl.ds(blk * SUBLANES, SUBLANES), :],
-                    sems.at[blk])
-                for blk in range(win_blocks)
-            ]
-            for c in copies:
-                c.start()
-
             loc_a = idx_a - id_base
             loc_b = idx_b - id_base
             in_a = need_a & (loc_a >= 0) & (loc_a < WIN)
             in_b = need_b & (loc_b >= 0) & (loc_b < WIN)
             loc_a = jnp.clip(loc_a, 0, WIN - 1)
             loc_b = jnp.clip(loc_b, 0, WIN - 1)
-
-            for c in copies:
-                c.wait()
             ga = _gather_window(idwin[:], win_rows, loc_a, jnp.uint32)
             gb = _gather_window(idwin[:], win_rows, loc_b, jnp.uint32)
             a_ref[:] = jnp.where(in_a, ga, a_ref[:])
@@ -184,8 +165,27 @@ def _make_kernel(t_rows: int, win_rows: int, swin_rows: int):
             res_b_ref[:] = new_res_b
             return jnp.sum(2 - new_res_a - new_res_b)
 
-        unresolved0 = jnp.sum(2 - res_a_ref[:] - res_b_ref[:])
-        jax.lax.while_loop(lambda r: r > 0, resolve_window, unresolved0)
+        for c in spec_copies:
+            c.wait()
+        rem0 = resolve_with(spec_base_row * LANES)
+
+        def resolve_window(_):
+            need_a = res_a_ref[:] == 0
+            need_b = res_b_ref[:] == 0
+            cand = jnp.minimum(jnp.where(need_a, idx_a, _HUGE),
+                               jnp.where(need_b, idx_b, _HUGE))
+            m = jnp.min(cand)
+            id_base_row = jnp.clip((m // T) * t_rows, 0,
+                                   rows_total - win_rows)
+            id_base_row = pl.multiple_of(id_base_row, SUBLANES)
+            copies = start_id_copies(id_base_row)
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+            return resolve_with(id_base_row * LANES)
+
+        jax.lax.while_loop(lambda r: r > 0, resolve_window, rem0)
 
     return kernel
 
@@ -251,22 +251,42 @@ def expand_pairs(ids: jnp.ndarray, starts: jnp.ndarray, run: jnp.ndarray,
     # resolve to PAD immediately; sliced off on return)
     Pp = -(-P // T) * T
 
-    # per-tile covering-run index into the compacted array
+    # per-tile covering-run index into the compacted array, and the
+    # covering run's ELEMENT index (the kernel's speculative id-window base)
     from . import search
     t0s = jnp.arange(Pp // T, dtype=jnp.int32) * T
     j0s = search.upper_bound_i32(sv, t0s) - 1
+    oj0s = oj[jnp.clip(j0s, 0, oj.shape[0] - 1)]
 
     padded_ids = max(-(-cap // T) * T, WIN)
     if padded_ids != cap:
         ids = jnp.pad(ids, (0, padded_ids - cap))
 
+    # starts-window blocks: the 2T window = two consecutive T-blocks whose
+    # indices come from the prefetched j0s — Mosaic pipelines these as
+    # regular inputs (the manual DMA+wait this replaces serialized every
+    # grid step on the DMA round trip)
+    s_blocks_max = sv.shape[0] // T - 2
+
+    def _win_map(delta):
+        def index_map(g, j0s_ref, oj0s_ref, total_ref):
+            k = jnp.clip(jnp.maximum(j0s_ref[g], 0) // T, 0, s_blocks_max)
+            return (k + delta, 0)
+        return index_map
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(Pp // T,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),     # sv
-            pl.BlockSpec(memory_space=pl.ANY),     # oj
-            pl.BlockSpec(memory_space=pl.ANY),     # ids
+            pl.BlockSpec((tile_rows, LANES), _win_map(0),
+                         memory_space=pltpu.VMEM),     # sv low block
+            pl.BlockSpec((tile_rows, LANES), _win_map(1),
+                         memory_space=pltpu.VMEM),     # sv high block
+            pl.BlockSpec((tile_rows, LANES), _win_map(0),
+                         memory_space=pltpu.VMEM),     # oj low block
+            pl.BlockSpec((tile_rows, LANES), _win_map(1),
+                         memory_space=pltpu.VMEM),     # oj high block
+            pl.BlockSpec(memory_space=pl.ANY),         # ids
         ],
         out_specs=[
             pl.BlockSpec((tile_rows, LANES), lambda g, *_: (g, 0),
@@ -275,12 +295,9 @@ def expand_pairs(ids: jnp.ndarray, starts: jnp.ndarray, run: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((swin_rows, LANES), jnp.int32),   # svwin
-            pltpu.VMEM((swin_rows, LANES), jnp.int32),   # ojwin
             pltpu.VMEM((win_rows, LANES), jnp.uint32),   # idwin
             pltpu.VMEM((tile_rows, LANES), jnp.int32),   # res_a
             pltpu.VMEM((tile_rows, LANES), jnp.int32),   # res_b
-            pltpu.SemaphoreType.DMA((2 * (swin_rows // SUBLANES),)),
             pltpu.SemaphoreType.DMA((win_rows // SUBLANES,)),
         ],
     )
@@ -292,7 +309,8 @@ def expand_pairs(ids: jnp.ndarray, starts: jnp.ndarray, run: jnp.ndarray,
             jax.ShapeDtypeStruct((Pp // LANES, LANES), jnp.uint32),
         ],
         interpret=interpret,
-    )(j0s, jnp.asarray(total, jnp.int32).reshape(1),
-      sv.reshape(-1, LANES), oj.reshape(-1, LANES),
+    )(j0s, oj0s, jnp.asarray(total, jnp.int32).reshape(1),
+      sv.reshape(-1, LANES), sv.reshape(-1, LANES),
+      oj.reshape(-1, LANES), oj.reshape(-1, LANES),
       ids.reshape(-1, LANES))
     return a.reshape(Pp)[:P], b.reshape(Pp)[:P]

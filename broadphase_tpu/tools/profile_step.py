@@ -88,6 +88,22 @@ def make_prefixes(spec, smin, smax, n, pair_cap):
         valid = (t < total) & (a != b)
         return a, b, valid
 
+    def p_expand_prep(bmin, bmax, ids):
+        # starts compaction + per-tile j0 search only (no kernel)
+        from ..ops.pallas_compact import stream_compact
+        from ..ops.pallas_expand import _pad_rows, _HUGE
+        st = _build(bmin, bmax, ids)
+        run, starts, total = _run_ends(st)
+        cap_ = st.ids.shape[0]
+        (sv_u, oj_u), _m = stream_compact(
+            run > 0, (starts, jnp.arange(cap_, dtype=jnp.int32)),
+            fills=(_HUGE, 0),
+            interpret=jax.default_backend() != "tpu")
+        sv = _pad_rows(sv_u.astype(jnp.int32), _HUGE, 1024, 2048)
+        t0s = jnp.arange(pair_cap // 1024 + 1, dtype=jnp.int32) * 1024
+        j0s = search.upper_bound_i32(sv, t0s) - 1
+        return j0s[::64].sum(), oj_u[::4096].sum()
+
     def p_gather(bmin, bmax, ids):
         st = _build(bmin, bmax, ids)
         run, starts, total = _run_ends(st)
@@ -118,6 +134,7 @@ def make_prefixes(spec, smin, smax, n, pair_cap):
         return cnt, out_a[::4096].sum()
 
     return [("build", p_build), ("run_ends", p_run_ends),
+            ("expand_prep", p_expand_prep),
             ("gather", p_gather),
             ("sort_pairs", p_sort_pairs), ("full_shift", p_full_shift),
             ("full_stream", p_full_stream)]
