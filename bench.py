@@ -11,10 +11,20 @@ Prints ONE JSON line:
 
 vs_baseline = (1e6 objects / p50) / (1e4 objects / 6 ms): 100.0 means the
 1M-in-6ms north star exactly; higher is better.
+
+Resilience contract (VERDICT round 2, item #3): the top-level process is a
+pure-stdlib orchestrator that runs the measurements in a CHILD process and
+retries on failure.  This environment's TPU backend can transiently wedge
+(FAILED_PRECONDITION at init, or a hung backend handshake that burns no
+CPU); a wedged chip recovers when the process holding it dies, so the
+orchestrator watches the child's CPU clock, kills it (by exact pid) when
+the clock stops advancing, and retries with backoff instead of letting the
+round's bench record become a crash.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -289,7 +299,7 @@ def bench_merge_scan_filtered(n=100_000, iters=30):
     return p50, int(out[0]), bool(out[1])
 
 
-def main():
+def child_main():
     import jax
 
     dev = jax.devices()[0]
@@ -348,6 +358,104 @@ def main():
         "vs_baseline": round(vs_baseline, 2),
         "blocking_p50_ms": round(lat_big, 4),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator: subprocess + CPU-clock watchdog + bounded retry
+# ---------------------------------------------------------------------------
+
+def _cpu_ticks(pid: int):
+    """utime+stime of a process from /proc (None once it exits)."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            parts = f.read().split(b")")[-1].split()
+        return int(parts[11]) + int(parts[12])   # utime, stime
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _run_attempt(timeout_s: float, stall_s: float):
+    """One child run.  Returns the parsed JSON record or None.
+
+    The child inherits stderr (live logs); stdout is captured and scanned
+    for the one JSON result line.  Two watchdogs: an absolute wall-clock
+    cap, and a CPU-clock stall detector — a TPU process whose CPU time
+    stops advancing for minutes is wedged on the backend (CLAUDE.md), and
+    killing it lets the chip recover for the retry.
+    """
+    proc = subprocess.Popen(
+        [sys.executable, "-u", os.path.abspath(__file__), "--child"],
+        stdout=subprocess.PIPE, stderr=None, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+
+    import threading
+    lines = []
+
+    def _pump():
+        for line in proc.stdout:
+            lines.append(line)
+    t = threading.Thread(target=_pump, daemon=True)
+    t.start()
+
+    deadline = time.monotonic() + timeout_s
+    last_ticks, last_change = _cpu_ticks(proc.pid), time.monotonic()
+    killed_why = None
+    while proc.poll() is None:
+        time.sleep(5.0)
+        now = time.monotonic()
+        ticks = _cpu_ticks(proc.pid)
+        if ticks is not None and ticks != last_ticks:
+            last_ticks, last_change = ticks, now
+        if now > deadline:
+            killed_why = f"wall-clock timeout ({timeout_s:.0f}s)"
+        elif now - last_change > stall_s:
+            killed_why = (f"CPU clock stalled {stall_s:.0f}s "
+                          "(wedged TPU backend)")
+        if killed_why:
+            proc.kill()
+            proc.wait()
+            break
+    t.join(timeout=10.0)
+
+    if killed_why:
+        print(f"bench attempt killed: {killed_why}", file=sys.stderr)
+        return None
+    if proc.returncode != 0:
+        print(f"bench attempt exited rc={proc.returncode}", file=sys.stderr)
+        return None
+    for line in reversed(lines):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                rec = json.loads(line)
+                if "metric" in rec and "value" in rec:
+                    return rec
+            except json.JSONDecodeError:
+                continue
+    print("bench attempt produced no JSON result line", file=sys.stderr)
+    return None
+
+
+def main():
+    if "--child" in sys.argv:
+        child_main()
+        return
+    attempts = int(os.environ.get("BROADPHASE_BENCH_ATTEMPTS", "3"))
+    timeout_s = float(os.environ.get("BROADPHASE_BENCH_TIMEOUT", "2700"))
+    stall_s = float(os.environ.get("BROADPHASE_BENCH_STALL", "420"))
+    for attempt in range(attempts):
+        if attempt:
+            backoff = 60.0 * attempt
+            print(f"retrying in {backoff:.0f}s (attempt "
+                  f"{attempt + 1}/{attempts})", file=sys.stderr)
+            time.sleep(backoff)
+        rec = _run_attempt(timeout_s, stall_s)
+        if rec is not None:
+            print(json.dumps(rec))
+            return
+    print("bench FAILED: all attempts crashed, hung, or produced no "
+          "result (TPU backend unavailable?)", file=sys.stderr)
+    sys.exit(1)
 
 
 if __name__ == "__main__":

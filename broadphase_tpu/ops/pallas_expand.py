@@ -228,22 +228,15 @@ def expand_pairs(ids: jnp.ndarray, starts: jnp.ndarray, run: jnp.ndarray,
     P = pair_capacity
     cap = ids.shape[0]
 
-    # compact to nonempty runs: (start value, original element index)
-    if cap % 1024 == 0:
-        # single-pass streaming kernel
-        from .pallas_compact import stream_compact
-        (sv_u, oj_u), _m = stream_compact(
-            run > 0,
-            (starts, jnp.arange(cap, dtype=jnp.int32)),
-            fills=(_HUGE, 0), interpret=interpret)
-        sv = sv_u.astype(jnp.int32)
-        oj = oj_u.astype(jnp.int32)
-    else:
-        from .compact import stable_compact
-        (sv, oj), _m = stable_compact(
-            run > 0,
-            (starts, jnp.arange(cap, dtype=jnp.int32)),
-            (_HUGE, 0))
+    # compact to nonempty runs: (start value, original element index);
+    # the streaming kernel self-pads to its tile
+    from .pallas_compact import stream_compact
+    (sv_u, oj_u), _m = stream_compact(
+        run > 0,
+        (starts, jnp.arange(cap, dtype=jnp.int32)),
+        fills=(_HUGE, 0), interpret=interpret)
+    sv = sv_u.astype(jnp.int32)
+    oj = oj_u.astype(jnp.int32)
     sv = _pad_rows(sv, _HUGE, T, SWIN)
     oj = _pad_rows(oj, 0, T, SWIN)
 

@@ -1,0 +1,242 @@
+"""Compiled-kernel smoke suite for the REAL TPU (pre-bench gate).
+
+CI (tests/) runs every Pallas kernel in interpret mode on a CPU mesh, which
+exercises the kernel *logic* but not Mosaic's compiled semantics (i1
+selects, (1,1) broadcasts, roll constraints, DMA alignment...).  This suite
+re-runs the adversarial kernel regressions COMPILED on the actual chip
+(VERDICT round 2, next-round item #4):
+
+  * the pair-expansion shapes that broke earlier kernel generations
+    (mirrors tests/test_pallas_expand.py:61-101);
+  * the degenerate all-one-cell scene (O(n^2) pairs in one run);
+  * stream-compaction parity, including unaligned lengths;
+  * run-ends (adjacent-LCA suffix-min kernel) parity vs the XLA path;
+  * a 30k generated scene scanned on device vs the C++ sequential oracle,
+    pair-for-pair.
+
+Run:  python -u -m broadphase_tpu.tools.tpu_smoke
+Exit status 0 = all green.  Shapes are stable so reruns hit .jax_cache.
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "..", "..", ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_FAILED = []
+
+
+def _case(name):
+    def deco(fn):
+        fn._smoke_name = name
+        _CASES.append(fn)
+        return fn
+    return deco
+
+
+_CASES = []
+
+
+def _expand_reference(ids, run, P):
+    """Numpy oracle of the run-expansion semantics (same as the CI test)."""
+    PAD = np.uint32(0xFFFFFFFF)
+    ids = np.asarray(ids)
+    a = np.full(P, PAD, np.uint32)
+    b = np.full(P, PAD, np.uint32)
+    t = 0
+    for j, r in enumerate(np.asarray(run)):
+        for off in range(int(r)):
+            if t < P:
+                a[t] = ids[j + 1 + off]
+                b[t] = ids[j]
+            t += 1
+    return a, b
+
+
+def _check_expand(ids, run, P):
+    from ..ops.pallas_expand import expand_pairs
+
+    run = np.asarray(run, np.int32)
+    starts = np.cumsum(run) - run
+    total = int(run.sum())
+    a, b = expand_pairs(jnp.asarray(ids, jnp.uint32),
+                        jnp.asarray(starts, jnp.int32),
+                        jnp.asarray(run, jnp.int32),
+                        jnp.int32(total), P, interpret=False)
+    a_want, b_want = _expand_reference(ids, run, P)
+    np.testing.assert_array_equal(np.asarray(a), a_want)
+    np.testing.assert_array_equal(np.asarray(b), b_want)
+
+
+@_case("expand: run longer than id window")
+def smoke_expand_long_run():
+    cap = 16384
+    ids = np.arange(cap, dtype=np.uint32) * 3 + 1
+    run = np.zeros(cap, np.int32)
+    run[0] = 8192
+    _check_expand(ids, run, 8 * 1024)
+
+
+@_case("expand: sparse runs far apart in one tile")
+def smoke_expand_sparse():
+    cap = 16384
+    ids = np.arange(cap, dtype=np.uint32) * 7 + 5
+    run = np.zeros(cap, np.int32)
+    run[0] = 512
+    run[6000] = 512
+    _check_expand(ids, run, 1024)
+
+
+@_case("expand: massive empty stretch")
+def smoke_expand_empty_stretch():
+    cap = 1 << 17
+    ids = np.arange(cap, dtype=np.uint32)
+    run = np.zeros(cap, np.int32)
+    run[3] = 7
+    run[cap - 2] = 1
+    _check_expand(ids, run, 1024)
+
+
+@_case("expand: exactly-dense one-slot runs")
+def smoke_expand_dense():
+    cap = 8192
+    ids = np.arange(cap, dtype=np.uint32) * 5 + 2
+    run = np.zeros(cap, np.int32)
+    run[: cap // 2] = 1
+    _check_expand(ids, run, 4 * 1024)
+
+
+@_case("stream_compact: parity incl. unaligned length")
+def smoke_stream_compact():
+    from ..ops.pallas_compact import stream_compact
+
+    rng = np.random.default_rng(0)
+    for n in (4096, 100_000):           # 100_000 is NOT tile-aligned
+        keep = rng.random(n) < 0.37
+        c0 = rng.integers(0, 1 << 32, n, dtype=np.uint32)
+        c1 = rng.integers(0, 1 << 32, n, dtype=np.uint32)
+        (o0, o1), cnt = stream_compact(jnp.asarray(keep),
+                                       (jnp.asarray(c0), jnp.asarray(c1)),
+                                       interpret=False)
+        k = int(keep.sum())
+        assert int(cnt) == k, (int(cnt), k)
+        np.testing.assert_array_equal(np.asarray(o0)[:k], c0[keep])
+        np.testing.assert_array_equal(np.asarray(o1)[:k], c1[keep])
+        assert np.all(np.asarray(o0)[k:] == 0xFFFFFFFF)
+
+
+@_case("run_ends: Pallas kernel vs XLA formulation")
+def smoke_run_ends():
+    from .. import index as bidx
+    from ..index import Index64_3D
+    from ..ops import search
+    from ..utils import gen
+
+    spec = Index64_3D
+    sc = gen.gen_boxes(count=20_000, density=1.0 / 1000.0, seed=3)
+    from .. import layer
+    st = layer.build(spec, sc.system_min, sc.system_max,
+                     sc.bounds_min, sc.bounds_max, sc.ids)
+    depth = bidx.depth_of(spec, st.keys)
+
+    e_pallas = jax.jit(
+        lambda k, d: search.descendant_run_ends(spec, k, d))(st.keys, depth)
+
+    os.environ["BROADPHASE_NO_PALLAS"] = "1"
+    try:
+        e_xla = jax.jit(
+            lambda k, d: search.descendant_run_ends(spec, k, d),
+            # fresh trace under the flipped env var
+            static_argnums=())(st.keys, depth)
+    finally:
+        del os.environ["BROADPHASE_NO_PALLAS"]
+    np.testing.assert_array_equal(np.asarray(e_pallas), np.asarray(e_xla))
+
+
+@_case("scan: degenerate all-one-cell scene")
+def smoke_degenerate_one_cell():
+    from ..index import Index64_3D
+    from .. import layer
+    from ..utils import oracle
+
+    spec = Index64_3D
+    n = 192                              # 192*191/2 = 18336 pairs, one run
+    smin = np.zeros(3, np.float32)
+    smax = np.full(3, 1000.0, np.float32)
+    rng = np.random.default_rng(9)
+    bmin = rng.uniform(400.0, 401.0, (n, 3)).astype(np.float32)
+    bmax = bmin + np.float32(0.5)
+    ids = np.arange(n, dtype=np.uint32)
+    st = layer.build(spec, smin, smax, bmin, bmax, ids)
+    st, res = layer.scan(spec, st, 64 * 1024)
+    assert not bool(res.overflow)
+    got = layer.scan_result_to_numpy(res)
+    keys, ids_np, _ = layer.tree_to_numpy(spec, st)
+    want = oracle.scan(spec, keys, ids_np)
+    assert got == want, (len(got), len(want))
+
+
+@_case("scan: 30k generated scene vs C++ sequential oracle")
+def smoke_scan_vs_native():
+    from ..index import Index64_3D
+    from .. import layer
+    from ..utils import gen, native
+
+    spec = Index64_3D
+    n = 30_000
+    sc = gen.gen_boxes(count=n, density=1.0 / 1000.0, seed=0)
+    st = layer.build(spec, sc.system_min, sc.system_max,
+                     sc.bounds_min, sc.bounds_max, sc.ids,
+                     out_capacity=4 * n)
+    st, res = layer.scan(spec, st, 16 * n)
+    assert not bool(res.overflow)
+    cnt = int(res.count)
+    got = np.stack([np.asarray(res.pairs_a, np.uint32)[:cnt],
+                    np.asarray(res.pairs_b, np.uint32)[:cnt]], axis=1)
+    keys_np, ids_np, _ = layer.tree_to_numpy(spec, st)
+    want = native.scan_seq(keys_np, ids_np, pair_slack=32)
+    assert got.shape == want.shape and np.array_equal(got, want), (
+        got.shape, want.shape)
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"tpu_smoke on {dev.platform} "
+          f"{getattr(dev, 'device_kind', '?')}", file=sys.stderr)
+    if dev.platform not in ("tpu", "axon"):
+        print("WARNING: not a TPU — kernels will run compiled on "
+              f"{dev.platform}, which does not validate Mosaic semantics",
+              file=sys.stderr)
+    t_all = time.perf_counter()
+    for fn in _CASES:
+        name = fn._smoke_name
+        t0 = time.perf_counter()
+        try:
+            fn()
+            print(f"  PASS  {name}  ({time.perf_counter() - t0:.1f}s)",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — report and continue
+            _FAILED.append(name)
+            print(f"  FAIL  {name}: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    dt = time.perf_counter() - t_all
+    if _FAILED:
+        print(f"tpu_smoke: {len(_FAILED)}/{len(_CASES)} FAILED "
+              f"({dt:.0f}s): {_FAILED}", file=sys.stderr)
+        sys.exit(1)
+    print(f"tpu_smoke: all {len(_CASES)} cases green ({dt:.0f}s)",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
