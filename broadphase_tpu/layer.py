@@ -251,6 +251,29 @@ def build(spec: IndexSpec, system_min, system_max,
                                      bounds_min, bounds_max)
     lmin = geom.to_local(system_min, system_max, bounds_min)
     lmax = geom.to_local(system_min, system_max, bounds_max)
+
+    if _use_pallas_expand():
+        # fused Pallas emission (ops/pallas_build.py): depth + grid walk +
+        # Morton + streaming compaction in one pass; quantization stays in
+        # XLA above so it is bit-identical to the unfused extend path
+        from .ops.pallas_build import emit_build
+        out_cap = out_capacity if out_capacity is not None \
+            else n * slots_per_axis ** spec.dim
+        key, fids, count, cell_ovf = emit_build(
+            spec, lmin, lmax, contained, ids, md, out_cap,
+            slots_per_axis, interpret=jax.default_backend() != "tpu")
+        overflow = cell_ovf | (count > out_cap)
+        skeys, sids = _sort_now(spec, key, fids)
+        return LayerState(
+            keys=skeys,
+            ids=sids,
+            count=jnp.minimum(count, out_cap),
+            sorted=jnp.bool_(True),
+            min_depth=md,
+            invalid_count=jnp.sum((~contained).astype(jnp.int32)),
+            overflow=overflow,
+        )
+
     keys, valid, cell_ovf = geom.emit_cells(spec, lmin, lmax, md,
                                             slots_per_axis)
     valid = valid & contained[:, None]
@@ -500,10 +523,16 @@ def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
     # Pass 2 — flat emission: pair slot t -> (j, i = j + 1 + offset)
     t = jnp.arange(pair_capacity, dtype=jnp.int32)
     if _use_pallas_expand(pair_capacity):
-        # Pallas kernel: j/off recovered in-kernel by binary search over a
-        # bounded window of nonempty-run starts (no scatters anywhere),
-        # then multi-window id resolution (ops/pallas_expand.py)
-        from .ops.pallas_expand import expand_pairs
+        # Pallas kernel v3 (ops/pallas_expand2.py): per-tile ranked-spread
+        # placement of compacted run entries + log-shift forward fill —
+        # gather-free b-side and run metadata; only the a-side reads ids
+        # through a windowed DMA.  BROADPHASE_EXPAND=v2 keeps the previous
+        # per-lane-binary-search kernel for A/B.
+        import os
+        if os.environ.get("BROADPHASE_EXPAND") == "v2":
+            from .ops.pallas_expand import expand_pairs
+        else:
+            from .ops.pallas_expand2 import expand_pairs
         interpret = jax.default_backend() != "tpu"
         a, b = expand_pairs(ids, starts, run, total, pair_capacity,
                             interpret=interpret)

@@ -51,15 +51,17 @@ def _elem_roll(x: jnp.ndarray, s) -> jnp.ndarray:
     return jnp.where(lane >= b, y1, y2)
 
 
-def _tile_compact(keep, cols, iota):
-    """In-tile ranked-shift compaction of (TILE_ROWS, 128) row-major tiles.
-    Returns (compacted cols, kept count)."""
+def _tile_compact(keep, cols, iota=None):
+    """In-tile ranked-shift compaction of (R, 128) row-major tiles (shape
+    taken from ``keep``).  Returns (compacted cols, kept count)."""
+    del iota
+    n_elems = keep.shape[0] * LANES
     ki = keep.astype(jnp.int32)
     # row-major exclusive prefix sum of drops via staged element shifts
     drops = 1 - ki
     pref = drops
     d = 1
-    while d < TILE:
+    while d < n_elems:
         # shift right by d (row-major): inverse of _shift_left
         r, c = d // LANES, d % LANES
         y = pref
@@ -77,7 +79,7 @@ def _tile_compact(keep, cols, iota):
     rem = jnp.where(keep, drops_excl, 0)
     arrs = list(cols)
     b = 1
-    while b < TILE:
+    while b < n_elems:
         rr, cc = b // LANES, b % LANES
 
         def shl(a, fill=0):

@@ -187,11 +187,18 @@ def make_sharded_step(spec: IndexSpec, mesh: Mesh, axis_name: str,
         prows, _, x_ovf = _bucket_rows(
             (spa, spb), sb.astype(jnp.int32), sb != jnp.uint32(n_dev),
             n_dev, xcap, pads=(PAD_ID, PAD_ID))
+        # NOTE scaling: the exchanged buffer is n_dev * xcap lanes per
+        # device — xcap bounds ONE device's residue class of the deduped
+        # pair list, so for fixed global pair count it can shrink ~1/n_dev;
+        # keep n_dev * xcap within HBM when scaling out.
         xa = jax.lax.all_to_all(prows[0], axis_name,
                                 split_axis=0, concat_axis=0).reshape(-1)
         xb = jax.lax.all_to_all(prows[1], axis_name,
                                 split_axis=0, concat_axis=0).reshape(-1)
-        out_a, out_b, dcount = canonical_pairs(xa, xb, xa != PAD_ID)
+        from ..layer import _use_pallas_expand
+        out_a, out_b, dcount = canonical_pairs(
+            xa, xb, xa != PAD_ID,
+            compaction="stream" if _use_pallas_expand() else "shift")
 
         # --- global reductions --------------------------------------------
         inv_local = jnp.sum((~contained).astype(jnp.int32))

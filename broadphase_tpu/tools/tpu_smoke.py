@@ -64,7 +64,8 @@ def _expand_reference(ids, run, P):
 
 
 def _check_expand(ids, run, P):
-    from ..ops.pallas_expand import expand_pairs
+    # production expansion kernel (v3, ranked-spread placement)
+    from ..ops.pallas_expand2 import expand_pairs
 
     run = np.asarray(run, np.int32)
     starts = np.cumsum(run) - run
@@ -114,6 +115,31 @@ def smoke_expand_dense():
     run = np.zeros(cap, np.int32)
     run[: cap // 2] = 1
     _check_expand(ids, run, 4 * 1024)
+
+
+@_case("build: fused emission kernel vs XLA emit path")
+def smoke_build_fused():
+    from ..index import Index64_3D, Index32_2D
+    from .. import layer
+    from ..utils import gen
+    import jax.numpy as jnp
+
+    sc = gen.gen_boxes(count=20_000, density=1.0 / 1000.0, seed=4)
+    fused = layer.build.__wrapped__(Index64_3D, sc.system_min, sc.system_max,
+                                    sc.bounds_min, sc.bounds_max, sc.ids,
+                                    2, 0, 4 * 20_000)
+    os.environ["BROADPHASE_NO_PALLAS"] = "1"
+    try:
+        xla = layer.build.__wrapped__(Index64_3D, sc.system_min,
+                                      sc.system_max, sc.bounds_min,
+                                      sc.bounds_max, sc.ids, 2, 0,
+                                      4 * 20_000)
+    finally:
+        del os.environ["BROADPHASE_NO_PALLAS"]
+    assert int(fused.count) == int(xla.count)
+    kf, idf, _ = layer.tree_to_numpy(Index64_3D, fused)
+    kx, idx_, _ = layer.tree_to_numpy(Index64_3D, xla)
+    assert np.array_equal(kf, kx) and np.array_equal(idf, idx_)
 
 
 @_case("stream_compact: parity incl. unaligned length")

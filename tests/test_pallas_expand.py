@@ -22,10 +22,17 @@ import pytest
 from broadphase_tpu import Index64_3D, Index32_2D, layer
 from broadphase_tpu import index as bidx
 from broadphase_tpu.ops import search
-from broadphase_tpu.ops.pallas_expand import TILE, expand_pairs
+from broadphase_tpu.ops.pallas_expand import TILE
+from broadphase_tpu.ops import pallas_expand, pallas_expand2
 from broadphase_tpu.utils import gen, oracle
 
 PAD = np.uint32(0xFFFFFFFF)
+
+# every case runs against BOTH kernel generations: v2 (per-lane binary
+# search) stays as the A/B fallback, v3 (ranked-spread placement) is the
+# production path
+KERNELS = [pytest.param(pallas_expand.expand_pairs, id="v2"),
+           pytest.param(pallas_expand2.expand_pairs, id="v3")]
 
 
 def _reference(ids, run, P):
@@ -43,7 +50,7 @@ def _reference(ids, run, P):
     return a, b, min(t, P)
 
 
-def _check(ids, run, P):
+def _check(expand_pairs, ids, run, P):
     run = np.asarray(run, np.int32)
     cap = len(np.asarray(ids))
     assert len(run) == cap
@@ -58,17 +65,19 @@ def _check(ids, run, P):
     np.testing.assert_array_equal(np.asarray(b), b_want)
 
 
-def test_single_run_longer_than_window():
+@pytest.mark.parametrize("expand_pairs", KERNELS)
+def test_single_run_longer_than_window(expand_pairs):
     # One run of 8192 pairs: i = j+1+o walks 8192 ids — double the id
     # window.  Round 1's kernel clamped these and returned wrong ids.
     cap = 16384
     ids = np.arange(cap, dtype=np.uint32) * 3 + 1
     run = np.zeros(cap, np.int32)
     run[0] = 8192
-    _check(ids, run, 8 * TILE)
+    _check(expand_pairs, ids, run, 8 * TILE)
 
 
-def test_sparse_tile_runs_far_apart():
+@pytest.mark.parametrize("expand_pairs", KERNELS)
+def test_sparse_tile_runs_far_apart(expand_pairs):
     # Two runs inside ONE tile whose elements are > an id window apart,
     # with 5999 empty runs between them in the starts array.
     cap = 16384
@@ -76,10 +85,11 @@ def test_sparse_tile_runs_far_apart():
     run = np.zeros(cap, np.int32)
     run[0] = 512
     run[6000] = 512
-    _check(ids, run, TILE)
+    _check(expand_pairs, ids, run, TILE)
 
 
-def test_massive_empty_stretch():
+@pytest.mark.parametrize("expand_pairs", KERNELS)
+def test_massive_empty_stretch(expand_pairs):
     # The covering-run window is over COMPACTED starts: a million-element
     # gap of empty runs must not displace the window.
     cap = 1 << 17
@@ -87,10 +97,11 @@ def test_massive_empty_stretch():
     run = np.zeros(cap, np.int32)
     run[3] = 7
     run[cap - 2] = 1
-    _check(ids, run, TILE)
+    _check(expand_pairs, ids, run, TILE)
 
 
-def test_exactly_dense_single_slot_runs():
+@pytest.mark.parametrize("expand_pairs", KERNELS)
+def test_exactly_dense_single_slot_runs(expand_pairs):
     # Every slot from a different run: a tile spans 1024 consecutive
     # nonempty entries (+1 covering) = the 2048-window sufficiency bound,
     # with alignment pushing the base up to 1023 entries below j0.
@@ -98,10 +109,11 @@ def test_exactly_dense_single_slot_runs():
     ids = np.arange(cap, dtype=np.uint32) * 5 + 2
     run = np.zeros(cap, np.int32)
     run[: cap // 2] = 1          # 4096 one-slot runs -> 4 full tiles
-    _check(ids, run, 4 * TILE)
+    _check(expand_pairs, ids, run, 4 * TILE)
 
 
-def test_mixed_run_lengths_random():
+@pytest.mark.parametrize("expand_pairs", KERNELS)
+def test_mixed_run_lengths_random(expand_pairs):
     rng = np.random.default_rng(3)
     cap = 1 << 15
     ids = rng.integers(0, 1 << 31, cap, dtype=np.uint32)
@@ -111,18 +123,20 @@ def test_mixed_run_lengths_random():
     # clamp runs so j + 1 + off stays in range
     for j in np.nonzero(run)[0]:
         run[j] = min(run[j], cap - 1 - j)
-    _check(ids, run, ((int(run.sum()) // TILE) + 2) * TILE)
+    _check(expand_pairs, ids, run, ((int(run.sum()) // TILE) + 2) * TILE)
 
 
-def test_total_mid_tile_and_dead_tail():
+@pytest.mark.parametrize("expand_pairs", KERNELS)
+def test_total_mid_tile_and_dead_tail(expand_pairs):
     cap = 4096
     ids = np.arange(cap, dtype=np.uint32)
     run = np.zeros(cap, np.int32)
     run[10] = 700                 # total = 700: tile 0 half dead, tile 1+ dead
-    _check(ids, run, 4 * TILE)
+    _check(expand_pairs, ids, run, 4 * TILE)
 
 
-def test_all_empty_emits_pad():
+@pytest.mark.parametrize("expand_pairs", KERNELS)
+def test_all_empty_emits_pad(expand_pairs):
     cap = 4096
     ids = np.arange(cap, dtype=np.uint32)
     a, b = expand_pairs(jnp.asarray(ids), jnp.zeros(cap, jnp.int32),
@@ -132,12 +146,13 @@ def test_all_empty_emits_pad():
     assert np.all(np.asarray(b) == PAD)
 
 
+@pytest.mark.parametrize("expand_pairs", KERNELS)
 @pytest.mark.parametrize("spec,n,seed", [
     (Index64_3D, 3000, 1),
     (Index64_3D, 500, 7),
     (Index32_2D, 2000, 11),
 ])
-def test_expand_pairs_matches_xla_path(spec, n, seed):
+def test_expand_pairs_matches_xla_path(expand_pairs, spec, n, seed):
     if spec.dim == 3:
         sc = gen.gen_boxes(count=n, density=1.0 / 1000.0, seed=seed)
         smin, smax = sc.system_min, sc.system_max
