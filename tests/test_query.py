@@ -209,6 +209,28 @@ def test_test_ray_batch_matches_single(spec):
                                       np.asarray(single.ids))
 
 
+def test_box_batch_chunked_lax_map():
+    """Q above the chunk size exercises the lax.map(batch_size) path
+    (temporaries bounded to chunk x cap); rows must still equal the
+    single-query results."""
+    spec = Index64_3D
+    smin, smax, bmin, bmax, ids = _scene(spec, 300, seed=29)
+    state, _, _ = _built_layer(spec, smin, smax, bmin, bmax, ids)
+    rng = np.random.default_rng(17)
+    Q = 11
+    qmin = rng.uniform(-50, 30, (Q, 3)).astype(np.float32)
+    qmax = qmin + rng.uniform(1, 25, (Q, 3)).astype(np.float32)
+    state, batch = query.test_box_batch(spec, state, smin, smax,
+                                        (qmin, qmax), result_cap=512,
+                                        max_depth=None, chunk=4)
+    for q in range(Q):
+        state, single = query.test_box(spec, state, smin, smax,
+                                       (qmin[q], qmax[q]), result_cap=512)
+        assert int(batch.count[q]) == int(single.count)
+        np.testing.assert_array_equal(np.asarray(batch.ids[q]),
+                                      np.asarray(single.ids))
+
+
 def test_pick_ray_batch_matches_single():
     import jax.numpy as jnp
 
