@@ -31,6 +31,18 @@ The TPU version evaluates the vectorized ``get_dist`` on all masked
 candidates at once and reduces with argmin.  Ties on distance are broken by
 lowest object id (the reference keeps the first hit in traversal order;
 document-level deviation, see tests).
+
+Scope of the deviation, precisely: the reference's ``processed`` set calls
+the scalar ``get_dist`` exactly once per object (``src/layer.rs:388``); here
+``get_dist`` is a *pure vectorized function of the id array*, so multiple
+cell occurrences of one object necessarily produce the same distance and
+the once-per-object guarantee is vacuous.  What can differ is WHICH
+candidates are evaluated at all: the reference's shrinking ``nearest`` may
+skip far cells entirely, so a ``get_dist`` that is inconsistent (an object
+closer than its own cell's entry distance) or side-effecting can observe
+different calls and return a different winner.  For every consistent pure
+narrow phase — including all geometries the reference ships — the results
+are identical.
 """
 
 from __future__ import annotations

@@ -75,7 +75,7 @@ def make_prefixes(spec, smin, smax, n, pair_cap):
         t = jnp.arange(pair_cap, dtype=jnp.int32)
         cap_ = st.ids.shape[0]
         if layer._use_pallas_expand(pair_cap):
-            from ..ops.pallas_expand import expand_pairs
+            from ..ops.pallas_expand2 import expand_pairs
             a, b = expand_pairs(st.ids, starts, run, total, pair_cap,
                                 interpret=jax.default_backend() != "tpu")
         else:
@@ -89,20 +89,22 @@ def make_prefixes(spec, smin, smax, n, pair_cap):
         return a, b, valid
 
     def p_expand_prep(bmin, bmax, ids):
-        # starts compaction + per-tile j0 search only (no kernel)
+        # v3 prep: starts compaction (with abase/bid columns) + per-tile
+        # covering-entry search (no kernel)
         from ..ops.pallas_compact import stream_compact
-        from ..ops.pallas_expand import _pad_rows, _HUGE
+        from ..ops.pallas_expand2 import _HUGE, T, PAD_ID as _PAD
         st = _build(bmin, bmax, ids)
         run, starts, total = _run_ends(st)
         cap_ = st.ids.shape[0]
-        (sv_u, oj_u), _m = stream_compact(
-            run > 0, (starts, jnp.arange(cap_, dtype=jnp.int32)),
-            fills=(_HUGE, 0),
+        j32 = jnp.arange(cap_, dtype=jnp.int32)
+        (sv_u, ab_u, bid_c), _m = stream_compact(
+            run > 0, (starts, j32 + 1 - starts, st.ids),
+            fills=(_HUGE, 0, _PAD),
             interpret=jax.default_backend() != "tpu")
-        sv = _pad_rows(sv_u.astype(jnp.int32), _HUGE, 1024, 2048)
-        t0s = jnp.arange(pair_cap // 1024 + 1, dtype=jnp.int32) * 1024
-        j0s = search.upper_bound_i32(sv, t0s) - 1
-        return j0s[::64].sum(), oj_u[::4096].sum()
+        sv = sv_u.astype(jnp.int32)
+        t0s = jnp.arange(pair_cap // T + 1, dtype=jnp.int32) * T
+        c0s = search.upper_bound_i32(sv, t0s) - 1
+        return c0s[::64].sum(), bid_c[::4096].astype(jnp.uint32).sum()
 
     def p_gather(bmin, bmax, ids):
         st = _build(bmin, bmax, ids)
@@ -111,13 +113,12 @@ def make_prefixes(spec, smin, smax, n, pair_cap):
         return a[::4096].sum(), b[::4096].sum()
 
     def p_sort_pairs(bmin, bmax, ids):
+        # the production adaptive sort (packed u32+u8 when ids fit 20 bits)
         st = _build(bmin, bmax, ids)
         run, starts, total = _run_ends(st)
         a, b, valid = _gather(st, starts, run, total)
-        a_m = jnp.where(valid, a, layer.PAD_ID)
-        b_m = jnp.where(valid, b, layer.PAD_ID)
-        a_s, b_s = jax.lax.sort((a_m, b_m), num_keys=2)
-        return a_s[::4096].sum(), b_s[::4096].sum()
+        out_a, out_b, cnt = layer.canonical_pairs(a, b, valid, "sort")
+        return out_a[::4096].sum(), out_b[::4096].sum()
 
     def p_full_shift(bmin, bmax, ids):
         st = _build(bmin, bmax, ids)
