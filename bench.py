@@ -449,7 +449,7 @@ def main():
         return
     attempts = int(os.environ.get("BROADPHASE_BENCH_ATTEMPTS", "3"))
     timeout_s = float(os.environ.get("BROADPHASE_BENCH_TIMEOUT", "2700"))
-    stall_s = float(os.environ.get("BROADPHASE_BENCH_STALL", "420"))
+    stall_s = float(os.environ.get("BROADPHASE_BENCH_STALL", "900"))
     for attempt in range(attempts):
         if attempt:
             backoff = 60.0 * attempt

