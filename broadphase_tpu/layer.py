@@ -462,7 +462,7 @@ def _use_pallas_expand(pair_capacity: int = 0) -> bool:
 
 
 def canonical_pairs(a: jnp.ndarray, b: jnp.ndarray, valid: jnp.ndarray,
-                    compaction: str = "shift"
+                    compaction: str = "shift", max_id_hint=None
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Canonical pair post-pass (reference ``src/layer.rs:473-474``):
     value-sort the (a, b) pair list, drop duplicates, compact to the front.
@@ -508,8 +508,12 @@ def canonical_pairs(a: jnp.ndarray, b: jnp.ndarray, valid: jnp.ndarray,
         return a_s, b_s
 
     lim = jnp.uint32(0xFFFFF)                    # 2^20 - 1, strict
-    narrow = (jnp.max(jnp.where(valid, a, 0)) < lim) & \
-        (jnp.max(jnp.where(valid, b, 0)) < lim)
+    if max_id_hint is not None:
+        # all pair ids come from the layer's id array: one small reduce
+        narrow = jnp.asarray(max_id_hint, jnp.uint32) < lim
+    else:
+        narrow = (jnp.max(jnp.where(valid, a, 0)) < lim) & \
+            (jnp.max(jnp.where(valid, b, 0)) < lim)
     a_s, b_s = jax.lax.cond(narrow, _sort_packed, _sort_flat, (a_m, b_m))
     prev_a = jnp.concatenate([a_s[:1] ^ jnp.uint32(1), a_s[:-1]])
     prev_b = jnp.concatenate([b_s[:1], b_s[:-1]])
@@ -580,6 +584,9 @@ def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
         interpret = jax.default_backend() != "tpu"
         a, b = expand_pairs(ids, starts, run, total, pair_capacity,
                             interpret=interpret)
+        # slots >= total carry PAD on BOTH sides, so the a != b dedup mask
+        # below excludes them for free — no t < total pass needed
+        valid = a != b
     else:
         j, off = search.expand_runs(starts, pair_capacity)
         j = jnp.clip(j, 0, cap - 1)
@@ -588,12 +595,18 @@ def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
         a = ids[i]                                   # later element (current)
         # earlier element (stack): gather-free segmented broadcast
         b = search.segmented_broadcast(starts, run, ids, pair_capacity)
-    valid = (t < total) & (a != b)
+        valid = (t < total) & (a != b)
     if filter_fn is not None:
         valid = valid & jnp.asarray(filter_fn(a, b), jnp.bool_)
 
+    # the pair ids all come from the layer's id array: reduce the (small)
+    # id array once for the packed-sort predicate instead of the pair lanes
+    live_ids = jnp.where(jnp.arange(cap, dtype=jnp.int32) < count, ids, 0)
+    max_id = jnp.max(live_ids) if cap else jnp.uint32(0)
+
     compaction = "stream" if _use_pallas_expand(pair_capacity) else "shift"
-    out_a, out_b, pair_count = canonical_pairs(a, b, valid, compaction)
+    out_a, out_b, pair_count = canonical_pairs(a, b, valid, compaction,
+                                               max_id_hint=max_id)
 
     overflow = pair_overflow
     if extra_overflow is not None:
