@@ -111,9 +111,11 @@ def bench_full_step(n, iters=30, warmup=3, pair_slack=16):
     if os.environ.get("BROADPHASE_VERIFY") == "1":
         _verify_against_native(spec, smin, smax, bmin, bmax, ids, n, out)
 
+    # batch amortizes the ~30 ms host<->device sync of this environment:
+    # at batch=4 the sync alone inflated the 1M p50 by ~7 ms/step
     p50, lat = _pipelined_p50(step, (d_bmin, d_bmax, d_ids),
                               iters=90 if n < 100_000 else iters,
-                              warmup=warmup, batch=30 if n < 100_000 else 4)
+                              warmup=warmup, batch=30 if n < 100_000 else 10)
     print(f"  (n={n}: blocking-latency p50 {lat:.2f} ms incl ~30 ms "
           f"host sync)", file=sys.stderr)
     pairs = int(out[2])
@@ -342,7 +344,7 @@ def child_main():
           f"(blocking {lat_small:.3f} ms), pairs={pairs_small}, "
           f"pairs/sec={pairs_small / (p50_small * 1e-3):.3e}", file=sys.stderr)
 
-    p50_big, pairs_big, lat_big = bench_full_step(n_big, iters=20)
+    p50_big, pairs_big, lat_big = bench_full_step(n_big, iters=30)
     print(f"full_step n={n_big}: p50={p50_big:.3f} ms "
           f"(blocking {lat_big:.3f} ms), pairs={pairs_big}, "
           f"pairs/sec={pairs_big / (p50_big * 1e-3):.3e}", file=sys.stderr)

@@ -557,6 +557,40 @@ def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
     # descendant_run_ends = adjacent-LCA clz + per-depth reverse cummins:
     # no sorts, no gathers (see ops.search).
     e = search.descendant_run_ends(spec, keys, bidx.depth_of(spec, keys))
+
+    import os
+    use_pallas = _use_pallas_expand(pair_capacity)
+    v2 = os.environ.get("BROADPHASE_EXPAND") == "v2"
+    interpret = jax.default_backend() != "tpu"
+
+    if use_pallas and not v2:
+        # Fused forward kernel (ops/pallas_prep.py): run lengths, the
+        # starts prefix sum, and the nonempty-entry compaction in one pass
+        # (run/starts never touch HBM), feeding the v3 expansion kernel
+        # (ops/pallas_expand2.py: ranked-spread placement + log-shift fill;
+        # gather-free b-side, windowed-DMA a-side).
+        from .ops.pallas_prep import prep_runs
+        from .ops.pallas_expand2 import expand_pairs_prepped
+        sv, ab, bid, _m, total, wrapped = prep_runs(e, ids, count,
+                                                    interpret=interpret)
+        pair_overflow = wrapped | (total > pair_capacity)
+        a, b = expand_pairs_prepped(ids, sv, ab, bid, total, pair_capacity,
+                                    interpret=interpret)
+        # slots >= total carry PAD on BOTH sides, so the a != b dedup mask
+        # below excludes them for free — no t < total pass needed
+        valid = a != b
+        if filter_fn is not None:
+            valid = valid & jnp.asarray(filter_fn(a, b), jnp.bool_)
+        live_ids = jnp.where(jnp.arange(cap, dtype=jnp.int32) < count,
+                             ids, 0)
+        max_id = jnp.max(live_ids) if cap else jnp.uint32(0)
+        out_a, out_b, pair_count = canonical_pairs(a, b, valid, "stream",
+                                                   max_id_hint=max_id)
+        overflow = pair_overflow
+        if extra_overflow is not None:
+            overflow = overflow | extra_overflow
+        return ScanResult(out_a, out_b, pair_count, overflow)
+
     e = jnp.minimum(e, count)
     j_idx = jnp.arange(cap, dtype=jnp.int32)
     run = jnp.where(j_idx < count, jnp.maximum(e - (j_idx + 1), 0), 0)
@@ -570,23 +604,12 @@ def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
 
     # Pass 2 — flat emission: pair slot t -> (j, i = j + 1 + offset)
     t = jnp.arange(pair_capacity, dtype=jnp.int32)
-    if _use_pallas_expand(pair_capacity):
-        # Pallas kernel v3 (ops/pallas_expand2.py): per-tile ranked-spread
-        # placement of compacted run entries + log-shift forward fill —
-        # gather-free b-side and run metadata; only the a-side reads ids
-        # through a windowed DMA.  BROADPHASE_EXPAND=v2 keeps the previous
-        # per-lane-binary-search kernel for A/B.
-        import os
-        if os.environ.get("BROADPHASE_EXPAND") == "v2":
-            from .ops.pallas_expand import expand_pairs
-        else:
-            from .ops.pallas_expand2 import expand_pairs
-        interpret = jax.default_backend() != "tpu"
+    if use_pallas:
+        # v2 A/B fallback kernel (per-lane binary search)
+        from .ops.pallas_expand import expand_pairs
         a, b = expand_pairs(ids, starts, run, total, pair_capacity,
                             interpret=interpret)
-        # slots >= total carry PAD on BOTH sides, so the a != b dedup mask
-        # below excludes them for free — no t < total pass needed
-        valid = a != b
+        valid = (t < total) & (a != b)
     else:
         j, off = search.expand_runs(starts, pair_capacity)
         j = jnp.clip(j, 0, cap - 1)

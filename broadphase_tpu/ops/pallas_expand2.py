@@ -240,8 +240,12 @@ def expand_pairs(ids: jnp.ndarray, starts: jnp.ndarray, run: jnp.ndarray,
     ``starts``/``run`` int32 (cap,) exclusive prefix sum of run lengths and
     the lengths; ``total`` int32 scalar; any static ``pair_capacity``
     (padded internally to the 4096-slot tile).
+
+    The production scan path computes the compacted entries in the fused
+    ``ops.pallas_prep.prep_runs`` kernel and calls
+    :func:`expand_pairs_prepped` directly; this wrapper keeps the
+    starts/run contract for the XLA-side callers and the kernel tests.
     """
-    P = pair_capacity
     cap = ids.shape[0]
 
     # compact to nonempty runs, carrying (start, abase, bid) per entry:
@@ -256,6 +260,24 @@ def expand_pairs(ids: jnp.ndarray, starts: jnp.ndarray, run: jnp.ndarray,
         fills=(_HUGE, 0, PAD_ID), interpret=interpret)
     sv = sv_u.astype(jnp.int32)
     abv = ab_u.astype(jnp.int32)
+    return expand_pairs_prepped(ids, sv, abv, bid_c, total, pair_capacity,
+                                interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pair_capacity", "interpret"))
+def expand_pairs_prepped(ids: jnp.ndarray, sv: jnp.ndarray,
+                         abv: jnp.ndarray, bid_c: jnp.ndarray,
+                         total: jnp.ndarray, pair_capacity: int,
+                         interpret: bool = False):
+    """Expansion from PRE-COMPACTED nonempty-run entries.
+
+    sv/abv: int32 (L,) start slots (strictly increasing over live entries,
+    ``_HUGE`` fills beyond) and a-side bases (j + 1 - sv); bid_c: uint32
+    (L,) b-side ids; ids: the sorted element id array for the a-side.
+    """
+    P = pair_capacity
+    cap = ids.shape[0]
 
     # pad the entry arrays so window blocks [blk, blk+1] always exist
     n_ent = sv.shape[0]

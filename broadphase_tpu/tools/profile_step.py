@@ -6,13 +6,13 @@ report nonsense; prefix deltas sum exactly to the full-step time).
 
 Run:  python -u -m broadphase_tpu.tools.profile_step [n]
 
-Stages (cumulative prefixes of ``layer.scan_pairs``):
-  build      — quantize + emit + the build sort (layer.build)
-  run_ends   — pass 1: adjacent-LCA reverse-cummin run ends + starts cumsum
-  gather     — pass 2: starts compaction + Pallas expansion kernel (a, b)
-  sort_pairs — canonical sort: value sort of (a, b)
-  full_shift — + dedup mask + log-shift compaction (production path)
-  full_sort  — + dedup mask + stable-sort compaction (A/B alternative)
+Stages (cumulative prefixes of ``layer.scan_pairs``, fused-prep pipeline):
+  build       — quantize + emit + the build sort (layer.build)
+  run_ends    — pass 1: adjacent-LCA reverse-cummin run ends (kernel only)
+  prep        — fused run/starts/compaction kernel (ops/pallas_prep.py)
+  gather      — pass 2: expansion from prepped entries (ops/pallas_expand2)
+  sort_pairs  — canonical sort: adaptive packed value sort of (a, b)
+  full_stream — + dedup mask + streaming compaction (production path)
 """
 
 import sys
@@ -55,89 +55,56 @@ def make_prefixes(spec, smin, smax, n, pair_cap):
         st = _build(bmin, bmax, ids)
         return st.count, st.ids[::4096].sum()
 
+    interp = jax.default_backend() != "tpu"
+
     def _run_ends(st):
-        e = search.descendant_run_ends(spec, st.keys,
-                                       bidx.depth_of(spec, st.keys))
-        e = jnp.minimum(e, st.count)
-        j_idx = jnp.arange(st.ids.shape[0], dtype=jnp.int32)
-        run = jnp.where(j_idx < st.count, jnp.maximum(e - (j_idx + 1), 0), 0)
-        starts_incl = jnp.cumsum(run)
-        starts = starts_incl - run
-        total = starts_incl[-1]
-        return run, starts, total
+        return search.descendant_run_ends(spec, st.keys,
+                                          bidx.depth_of(spec, st.keys))
 
     def p_run_ends(bmin, bmax, ids):
         st = _build(bmin, bmax, ids)
-        run, starts, total = _run_ends(st)
-        return total, starts[::4096].sum()
+        e = _run_ends(st)
+        return e[::4096].sum()
 
-    def _gather(st, starts, run, total):
-        t = jnp.arange(pair_cap, dtype=jnp.int32)
-        cap_ = st.ids.shape[0]
-        if layer._use_pallas_expand(pair_cap):
-            from ..ops.pallas_expand2 import expand_pairs
-            a, b = expand_pairs(st.ids, starts, run, total, pair_cap,
-                                interpret=jax.default_backend() != "tpu")
-        else:
-            j, off = search.expand_runs(starts, pair_cap)
-            j = jnp.clip(j, 0, cap_ - 1)
-            off = jnp.maximum(off, 0)
-            i = jnp.clip(j + 1 + off, 0, cap_ - 1)
-            a = st.ids[i]
-            b = search.segmented_broadcast(starts, run, st.ids, pair_cap)
-        valid = (t < total) & (a != b)
-        return a, b, valid
+    def _prep(st):
+        from ..ops.pallas_prep import prep_runs
+        e = _run_ends(st)
+        return prep_runs(e, st.ids, st.count, interpret=interp)
 
-    def p_expand_prep(bmin, bmax, ids):
-        # v3 prep: starts compaction (with abase/bid columns) + per-tile
-        # covering-entry search (no kernel)
-        from ..ops.pallas_compact import stream_compact
-        from ..ops.pallas_expand2 import _HUGE, T, PAD_ID as _PAD
+    def p_prep(bmin, bmax, ids):
         st = _build(bmin, bmax, ids)
-        run, starts, total = _run_ends(st)
-        cap_ = st.ids.shape[0]
-        j32 = jnp.arange(cap_, dtype=jnp.int32)
-        (sv_u, ab_u, bid_c), _m = stream_compact(
-            run > 0, (starts, j32 + 1 - starts, st.ids),
-            fills=(_HUGE, 0, _PAD),
-            interpret=jax.default_backend() != "tpu")
-        sv = sv_u.astype(jnp.int32)
-        t0s = jnp.arange(pair_cap // T + 1, dtype=jnp.int32) * T
-        c0s = search.upper_bound_i32(sv, t0s) - 1
-        return c0s[::64].sum(), bid_c[::4096].astype(jnp.uint32).sum()
+        sv, ab, bid, m, total, wrapped = _prep(st)
+        return total, sv[::4096].sum(), bid[::4096].astype(jnp.uint32).sum()
+
+    def _gather(st):
+        from ..ops.pallas_expand2 import expand_pairs_prepped
+        sv, ab, bid, m, total, wrapped = _prep(st)
+        a, b = expand_pairs_prepped(st.ids, sv, ab, bid, total, pair_cap,
+                                    interpret=interp)
+        return a, b, a != b
 
     def p_gather(bmin, bmax, ids):
         st = _build(bmin, bmax, ids)
-        run, starts, total = _run_ends(st)
-        a, b, valid = _gather(st, starts, run, total)
+        a, b, valid = _gather(st)
         return a[::4096].sum(), b[::4096].sum()
 
     def p_sort_pairs(bmin, bmax, ids):
         # the production adaptive sort (packed u32+u8 when ids fit 20 bits)
         st = _build(bmin, bmax, ids)
-        run, starts, total = _run_ends(st)
-        a, b, valid = _gather(st, starts, run, total)
+        a, b, valid = _gather(st)
         out_a, out_b, cnt = layer.canonical_pairs(a, b, valid, "sort")
         return out_a[::4096].sum(), out_b[::4096].sum()
 
-    def p_full_shift(bmin, bmax, ids):
-        st = _build(bmin, bmax, ids)
-        run, starts, total = _run_ends(st)
-        a, b, valid = _gather(st, starts, run, total)
-        out_a, out_b, cnt = layer.canonical_pairs(a, b, valid, "shift")
-        return cnt, out_a[::4096].sum()
-
     def p_full_stream(bmin, bmax, ids):
         st = _build(bmin, bmax, ids)
-        run, starts, total = _run_ends(st)
-        a, b, valid = _gather(st, starts, run, total)
+        a, b, valid = _gather(st)
         out_a, out_b, cnt = layer.canonical_pairs(a, b, valid, "stream")
         return cnt, out_a[::4096].sum()
 
     return [("build", p_build), ("run_ends", p_run_ends),
-            ("expand_prep", p_expand_prep),
+            ("prep", p_prep),
             ("gather", p_gather),
-            ("sort_pairs", p_sort_pairs), ("full_shift", p_full_shift),
+            ("sort_pairs", p_sort_pairs),
             ("full_stream", p_full_stream)]
 
 

@@ -117,6 +117,35 @@ def smoke_expand_dense():
     _check_expand(ids, run, 4 * 1024)
 
 
+@_case("prep_runs: fused prefix-sum+compaction vs numpy")
+def smoke_prep_runs():
+    from ..ops.pallas_prep import _HUGE, prep_runs
+
+    rng = np.random.default_rng(11)
+    cap = 100_000                         # NOT tile-aligned
+    count = 90_000
+    ids = rng.integers(0, 1 << 32, cap, dtype=np.uint32)
+    e = (np.arange(cap) + rng.integers(0, 50, cap)).astype(np.int32)
+    em = np.minimum(e, count)
+    pos = np.arange(cap)
+    run = np.where(pos < count, np.maximum(em - pos - 1, 0), 0)
+    starts = np.cumsum(run) - run
+    nz = np.nonzero(run)[0]
+
+    sv, ab, bid, m, total, wrapped = prep_runs(
+        jnp.asarray(e), jnp.asarray(ids), jnp.int32(count),
+        interpret=False)
+    m = int(m)
+    assert m == len(nz) and int(total) == int(run.sum())
+    assert not bool(wrapped)
+    np.testing.assert_array_equal(np.asarray(sv)[:m],
+                                  starts[nz].astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(ab)[:m],
+                                  (nz + 1 - starts[nz]).astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(bid)[:m], ids[nz])
+    assert np.all(np.asarray(sv)[m:] == _HUGE)
+
+
 @_case("build: fused emission kernel vs XLA emit path")
 def smoke_build_fused():
     from ..index import Index64_3D, Index32_2D
