@@ -63,7 +63,7 @@ def _suffix_min(x: jnp.ndarray, fill) -> jnp.ndarray:
 
 
 def _make_kernel(n_depths: int, n_tiles: int):
-    def kernel(lca_ref, d_ref, e_ref, carry_ref):
+    def kernel(mask_ref, lca_ref, d_ref, e_ref, carry_ref):
         g = pl.program_id(0)
         tile = n_tiles - 1 - g
         t0 = tile * TILE
@@ -79,13 +79,18 @@ def _make_kernel(n_depths: int, n_tiles: int):
                + jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
                * LANES
                + jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1))
-        e = jnp.zeros((TILE_ROWS, LANES), jnp.int32)
+        e_ref[:] = jnp.zeros((TILE_ROWS, LANES), jnp.int32)
+        mask = mask_ref[0]
         for dd in range(n_depths):
-            qual = jnp.where(lca < dd, pos, _INF)
-            nxt = jnp.minimum(_suffix_min(qual, _INF), carry_ref[dd])
-            e = jnp.where(d == dd, nxt + 1, e)
-            carry_ref[dd] = jnp.minimum(jnp.min(qual), carry_ref[dd])
-        e_ref[:] = e
+            # skip depth levels no element has (runtime flag: scenes
+            # cluster around a few sizes, so most of the axis_bits+1
+            # levels are empty and their 12-stage suffix chains dead)
+            @pl.when(((mask >> dd) & 1) == 1)
+            def _level(dd=dd):
+                qual = jnp.where(lca < dd, pos, _INF)
+                nxt = jnp.minimum(_suffix_min(qual, _INF), carry_ref[dd])
+                e_ref[:] = jnp.where(d == dd, nxt + 1, e_ref[:])
+                carry_ref[dd] = jnp.minimum(jnp.min(qual), carry_ref[dd])
 
     return kernel
 
@@ -102,6 +107,12 @@ def run_ends(lca: jnp.ndarray, depth: jnp.ndarray, n_depths: int,
     """
     cap = lca.shape[0]
     padded = -(-cap // TILE) * TILE
+    # depth-presence bitmask (one cheap pass + OR-reduce): the kernel
+    # skips the whole suffix-min chain of levels with no elements
+    mask = jnp.bitwise_or.reduce(
+        jnp.left_shift(jnp.int32(1),
+                       jnp.clip(depth, 0, n_depths - 1))
+        & jnp.where((depth >= 0) & (depth < n_depths), -1, 0))
     if padded != cap:
         lca = jnp.pad(lca, (0, padded - cap), constant_values=-1)
         depth = jnp.pad(depth, (0, padded - cap),
@@ -110,20 +121,25 @@ def run_ends(lca: jnp.ndarray, depth: jnp.ndarray, n_depths: int,
 
     e = pl.pallas_call(
         _make_kernel(n_depths, n_tiles),
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((TILE_ROWS, LANES), lambda g: (n_tiles - 1 - g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_ROWS, LANES), lambda g: (n_tiles - 1 - g, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TILE_ROWS, LANES),
-                               lambda g: (n_tiles - 1 - g, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((TILE_ROWS, LANES),
+                             lambda g, m: (n_tiles - 1 - g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_ROWS, LANES),
+                             lambda g, m: (n_tiles - 1 - g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TILE_ROWS, LANES),
+                                   lambda g, m: (n_tiles - 1 - g, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.SMEM((max(n_depths, 1),), jnp.int32)],
+        ),
         out_shape=jax.ShapeDtypeStruct((padded // LANES, LANES), jnp.int32),
-        scratch_shapes=[pltpu.SMEM((max(n_depths, 1),), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(lca.reshape(-1, LANES), depth.reshape(-1, LANES))
+    )(mask.reshape(1), lca.reshape(-1, LANES), depth.reshape(-1, LANES))
     return e.reshape(padded)[:cap]
