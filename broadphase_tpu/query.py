@@ -28,21 +28,31 @@ argmin of the user's ``get_dist`` over all candidates whose cell passes
 ``should_test`` with ``nearest = max_distance`` (assuming the narrow phase is
 consistent: an object's distance is never below its cell's entry distance).
 The TPU version evaluates the vectorized ``get_dist`` on all masked
-candidates at once and reduces with argmin.  Ties on distance are broken by
-lowest object id (the reference keeps the first hit in traversal order;
-document-level deviation, see tests).
+candidates at once and reduces with a lexicographic argmin of
+(distance, traversal visit rank, array position).  The ray ``test_order``
+is a closed-form child permutation of the Morton bits (axis order by
+|direction| + per-axis sign flips, ``src/geom.rs``), so the reference's
+exact DFS visit order — and therefore its tie-break, the FIRST visited
+object among equal minimal distances — is computed vectorized, no
+traversal (:func:`_ray_visit_rank`).  ``pick_ray`` results match the
+sequential reference bit for bit, including distance ties and
+``max_depth`` cutoffs (tie scenarios are tested against the sequential
+oracle in ``tests/test_query.py``).
 
-Scope of the deviation, precisely: the reference's ``processed`` set calls
-the scalar ``get_dist`` exactly once per object (``src/layer.rs:388``); here
+Residual deviation, precisely: the reference's ``processed`` set calls the
+scalar ``get_dist`` exactly once per object (``src/layer.rs:388``); here
 ``get_dist`` is a *pure vectorized function of the id array*, so multiple
 cell occurrences of one object necessarily produce the same distance and
 the once-per-object guarantee is vacuous.  What can differ is WHICH
 candidates are evaluated at all: the reference's shrinking ``nearest`` may
-skip far cells entirely, so a ``get_dist`` that is inconsistent (an object
-closer than its own cell's entry distance) or side-effecting can observe
-different calls and return a different winner.  For every consistent pure
-narrow phase — including all geometries the reference ships — the results
-are identical.
+skip far cells entirely, so a ``get_dist`` that is *inconsistent* (an
+object closer than its own cell's entry distance) or side-effecting can
+observe different calls and return a different winner — in that regime the
+reference's own answer depends on its internal traversal state.  For every
+consistent pure narrow phase — including all geometries the reference
+ships — the results are identical.  The generic :func:`pick` (box-style
+subdivision, identity ``test_order``) keeps the documented
+lowest-id tie-break.
 """
 
 from __future__ import annotations
@@ -227,6 +237,92 @@ def _argmin_pick(d: jnp.ndarray, ids: jnp.ndarray, max_dist) -> PickResult:
                       jnp.where(found, idmin, PAD_ID), found)
 
 
+def _ray_axis_positions(dim: int, ray_dir):
+    """Rank-bit position of every axis in the reference's ray traversal
+    order (``src/geom.rs``: ``RayTestGeometry::test_order``): axes sorted
+    ascending by |direction| with the reference's exact nested-if tie
+    rules; position k holds axis ``axes[k]``."""
+    a = jnp.abs(jnp.asarray(ray_dir, jnp.float32))
+    if dim == 2:
+        c = a[0] <= a[1]                       # axes = [0,1] else [1,0]
+        return (jnp.where(c, 0, 1), jnp.where(c, 1, 0))
+    c01, c02, c12 = a[0] <= a[1], a[0] <= a[2], a[1] <= a[2]
+    bA = c01 & c02          # axes = [0,1,2] if c12 else [0,2,1]
+    bB = ~bA & c12          # axes = [1,0,2] if c02 else [1,2,0]
+    #    else               # axes = [2,0,1] if c01 else [2,1,0]
+    p0 = jnp.where(bA, 0, jnp.where(bB, jnp.where(c02, 1, 2),
+                                    jnp.where(c01, 1, 2)))
+    p1 = jnp.where(bA, jnp.where(c12, 1, 2),
+                   jnp.where(bB, 0, jnp.where(c01, 2, 1)))
+    p2 = jnp.where(bA, jnp.where(c12, 2, 1),
+                   jnp.where(bB, jnp.where(c02, 2, 1), 0))
+    return (p0, p1, p2)
+
+
+def _ray_visit_rank(spec: IndexSpec, origin, depth, ray_dir):
+    """Per-element DFS visit rank of its cell in the reference's
+    ``test_impl`` traversal of a ray (``src/layer.rs:222-230`` +
+    ``RayTestGeometry::test_order``) as u32 sort columns, MSB first.
+
+    The reference's ray ``test_order`` is a closed-form child permutation
+    (constant over the whole tree): child rank bit k = (child's side on
+    axis ``axes[k]``) == (direction[axes[k]] >= 0), with ``axes`` the axes
+    ordered ascending by |direction|.  So the visit rank of a whole cell is
+    its Morton key with, per level, the axis bits permuted to their rank
+    positions and flipped on axes with negative direction — computable with
+    the codec's own spread stages, no traversal.  Cells whose paths share a
+    prefix compare beyond it as zero-padded ranks; the caller breaks those
+    residual ties by (depth, id), which reproduces head-before-children
+    order and the in-cell (key, id) array order.
+    """
+    ops = spec.ops
+    pos = _ray_axis_positions(spec.dim, ray_dir)
+    rd = jnp.asarray(ray_dir, jnp.float32)
+    depth_u = jnp.asarray(depth, jnp.uint32)
+    # keep only the top `depth` bits of the (top-aligned) axis coordinate:
+    # deeper bits are zero in the key but would flip to 1 on negative axes
+    keep = jnp.where(depth_u >= 1,
+                     jnp.uint32(0xFFFF_FFFF)
+                     << ((jnp.uint32(32) - jnp.minimum(depth_u, 31))
+                         & jnp.uint32(31)),
+                     jnp.uint32(0))
+    rank = ops.const(0, jnp.shape(depth_u))
+    for axis in range(spec.dim):
+        t = jnp.where(rd[axis] >= 0, origin[axis], ~origin[axis]) & keep
+        rank = ops.or_(rank, ops.shl(bidx.encode_axis(spec, t), pos[axis]))
+    if spec.bits == 64:
+        return (rank.hi, rank.lo)
+    return (rank,)
+
+
+def _argmin_pick_ranked(d: jnp.ndarray, rank_cols, pos: jnp.ndarray,
+                        ids: jnp.ndarray, max_dist) -> PickResult:
+    """Reference-exact pick reduction: among min-distance candidates the
+    winner is the FIRST one visited (``result`` only overwritten on a
+    strict improvement, ``src/layer.rs:388-397``) — lexicographic argmin of
+    (distance, visit rank, sorted-array position).
+
+    Position resolves every residual rank tie exactly: rank ties are only
+    ancestor-related cells (head folded before children and before any
+    ``max_depth``-cutoff subtree, both in array order) or the same cell
+    (the head slice folds in (key, id) array order)."""
+    hit = d < max_dist
+    d = jnp.where(hit, d, jnp.inf)
+    dmin = jnp.min(d)
+    tie = d == dmin
+    for col in rank_cols:
+        m = jnp.min(jnp.where(tie, col, jnp.uint32(0xFFFF_FFFF)))
+        tie = tie & (col == m)
+    pos = jnp.asarray(pos, jnp.uint32)
+    mpos = jnp.min(jnp.where(tie, pos, jnp.uint32(0xFFFF_FFFF)))
+    # pos is a permutation (the element's key-sorted array position), so
+    # the winning row is unique; reduce instead of gathering (vmap-safe)
+    win = jnp.min(jnp.where(tie & (pos == mpos), ids, PAD_ID))
+    found = jnp.any(hit)
+    return PickResult(jnp.where(found, dmin, jnp.inf),
+                      jnp.where(found, win, PAD_ID), found)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 7, 9))
 def pick_ray(spec: IndexSpec, state: LayerState, system_min, system_max,
              ray_origin, ray_dir, max_distance,
@@ -240,9 +336,11 @@ def pick_ray(spec: IndexSpec, state: LayerState, system_min, system_max,
     narrow phase (the reference takes a scalar callback, ``:438-444``);
     non-finite distances are treated as misses (``:390-397``).  ``get_dist``
     is a static jit argument — anything data-dependent (the ray, object
-    geometry arrays) must flow through ``get_dist_args``, not the closure.  Candidates are all elements whose
-    cell interval passes ``should_test`` with nearest = max_distance; the
-    result is the distance argmin (ties -> lowest id)."""
+    geometry arrays) must flow through ``get_dist_args``, not the closure.
+    Candidates are all elements whose cell interval passes ``should_test``
+    with nearest = max_distance; the result is the lexicographic argmin of
+    (distance, traversal visit rank, depth, id) — distance ties resolve to
+    the reference's first-visited object (see :func:`_ray_visit_rank`)."""
     state = sort(spec, state)
     md = jnp.float32(max_distance)
     rmin, rmax, live = ray_intervals(spec, state, system_min, system_max,
@@ -251,7 +349,13 @@ def pick_ray(spec: IndexSpec, state: LayerState, system_min, system_max,
     d = jnp.asarray(get_dist(state.ids, cand, *get_dist_args),
                     jnp.float32)
     d = jnp.where(jnp.isfinite(d) & cand, d, jnp.inf)
-    return state, _argmin_pick(d, state.ids, md)
+    origin = bidx.origin_of(spec, state.keys)
+    depth = bidx.depth_of(spec, state.keys)
+    if max_depth is not None:
+        depth = jnp.minimum(depth, jnp.uint32(max_depth))
+    rank = _ray_visit_rank(spec, origin, depth, ray_dir)
+    pos = jnp.arange(state.ids.shape[0], dtype=jnp.uint32)
+    return state, _argmin_pick_ranked(d, rank, pos, state.ids, md)
 
 
 # ---------------------------------------------------------------------------
@@ -331,12 +435,13 @@ def _id_sorted_view(spec: IndexSpec, state: LayerState,
         payload += list(origin) + [depth]
     out = jax.lax.sort((state.ids, pos) + tuple(payload), num_keys=2)
     ids_s = out[0]
+    pos_s = out[1]
     dim = spec.dim
     cmin_s = jnp.stack(out[2:2 + dim], axis=-1)
     cmax_s = jnp.stack(out[2 + dim:2 + 2 * dim], axis=-1)
     live_s = out[2 + 2 * dim] != 0
     extra = out[3 + 2 * dim:]
-    return ids_s, cmin_s, cmax_s, live_s, extra
+    return ids_s, pos_s, cmin_s, cmax_s, live_s, extra
 
 
 def _ray_intervals_cells(spec: IndexSpec, cmin, cmax,
@@ -399,7 +504,7 @@ def test_box_batch(spec: IndexSpec, state: LayerState,
     state = sort(spec, state)
     qmin = jnp.asarray(query_bounds[0], jnp.float32)
     qmax = jnp.asarray(query_bounds[1], jnp.float32)
-    ids_s, cmin, cmax, live, _ = _id_sorted_view(
+    ids_s, _, cmin, cmax, live, _ = _id_sorted_view(
         spec, state, system_min, system_max, max_depth, with_ray=False)
 
     def one(qmin_i, qmax_i):
@@ -425,7 +530,7 @@ def test_ray_batch(spec: IndexSpec, state: LayerState,
     Q = ro.shape[0]
     rmn = jnp.broadcast_to(jnp.asarray(range_min, jnp.float32), (Q,))
     rmx = jnp.broadcast_to(jnp.asarray(range_max, jnp.float32), (Q,))
-    ids_s, cmin, cmax, live, _ = _id_sorted_view(
+    ids_s, _, cmin, cmax, live, _ = _id_sorted_view(
         spec, state, system_min, system_max, max_depth, with_ray=False)
 
     def one(ro_i, rd_i, lo_i, hi_i):
@@ -454,8 +559,11 @@ def pick_ray_batch(spec: IndexSpec, state: LayerState,
     rd = jnp.asarray(ray_dirs, jnp.float32)
     Q = ro.shape[0]
     md = jnp.broadcast_to(jnp.asarray(max_distance, jnp.float32), (Q,))
-    ids_s, cmin, cmax, live, _ = _id_sorted_view(
-        spec, state, system_min, system_max, max_depth, with_ray=False)
+    ids_s, pos_s, cmin, cmax, live, extra = _id_sorted_view(
+        spec, state, system_min, system_max, max_depth, with_ray=True)
+    origin_s, depth_s = tuple(extra[:spec.dim]), extra[spec.dim]
+    if max_depth is not None:
+        depth_s = jnp.minimum(depth_s, jnp.uint32(max_depth))
 
     def one(ro_i, rd_i, md_i, args_i):
         rmin, rmax = _ray_intervals_cells(spec, cmin, cmax,
@@ -464,7 +572,8 @@ def pick_ray_batch(spec: IndexSpec, state: LayerState,
         cand = (rmin < rmax) & (rmin < md_i) & live
         d = jnp.asarray(get_dist(ids_s, cand, *args_i), jnp.float32)
         d = jnp.where(jnp.isfinite(d) & cand, d, jnp.inf)
-        return _argmin_pick(d, ids_s, md_i)
+        rank = _ray_visit_rank(spec, origin_s, depth_s, rd_i)
+        return _argmin_pick_ranked(d, rank, pos_s, ids_s, md_i)
 
     return state, _map_queries(one, (ro, rd, md, tuple(get_dist_args)),
                                Q, chunk)

@@ -255,3 +255,91 @@ def test_pick_ray_batch_matches_single():
         assert int(batch.obj_id[q]) == int(single.obj_id)
         np.testing.assert_allclose(float(batch.distance[q]),
                                    float(single.distance))
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=lambda s: s.name)
+@pytest.mark.parametrize("const,max_depth", [(0.0, None), (17.0, None),
+                                             (17.0, 3)])
+def test_pick_ray_distance_tie_matches_traversal_order(spec, const,
+                                                       max_depth):
+    """Adversarial tie-break parity: a constant ``get_dist`` makes EVERY
+    candidate tie, so the winner is decided purely by the reference's
+    test_order DFS visit order (``src/layer.rs:388`` only overwrites on a
+    strict improvement).  The device side must reproduce it through the
+    visit-rank argmin — the lowest-id tie-break of rounds 1-2 fails this.
+
+    ids are shuffled so first-visited and lowest-id disagree; directions
+    cover sign flips, |axis| ties, and axis-parallel zeros.
+    """
+    import jax.numpy as jnp
+
+    smin, smax, bmin, bmax, _ = _scene(spec, 150, seed=23)
+    rng = np.random.default_rng(3)
+    ids = np.sort(rng.choice(100_000, 150, replace=False)
+                  .astype(np.uint32))
+    rng.shuffle(ids)
+    state, keys, tids = _built_layer(spec, smin, smax, bmin, bmax, ids)
+
+    def get_dist(cand_ids, mask):
+        return jnp.where(mask, jnp.float32(const), jnp.inf)
+
+    dirs = [rng.normal(size=spec.dim).astype(np.float32) for _ in range(3)]
+    dirs.append(np.ones(spec.dim, np.float32))            # |axis| ties
+    d_neg = -np.ones(spec.dim, np.float32)
+    d_neg[-1] = 1.0
+    dirs.append(d_neg)                                    # sign flips
+    d_par = np.zeros(spec.dim, np.float32)
+    d_par[0] = 1.0
+    dirs.append(d_par)                                    # axis-parallel
+    hits = 0
+    for trial, direction in enumerate(dirs):
+        origin = rng.uniform(-45, 45, spec.dim).astype(np.float32)
+        state, res = query.pick_ray(spec, state, smin, smax, origin,
+                                    direction, np.float32(1e9), get_dist,
+                                    max_depth=max_depth)
+        geom = oracle.RayTestGeometry(smin, smax, origin, direction,
+                                      0.0, 1e9)
+        want = oracle.run_pick(spec, keys, tids, geom, 1e9,
+                               lambda g, nearest, oid: const,
+                               max_depth=max_depth)
+        if want is None:
+            assert not bool(res.found), f"trial {trial}"
+        else:
+            hits += 1
+            assert bool(res.found), f"trial {trial}"
+            assert int(res.obj_id) == want[1], (
+                f"trial {trial}: got {int(res.obj_id)}, want {want[1]}")
+            assert float(res.distance) == pytest.approx(want[0])
+    assert hits >= 3          # the scenario actually exercises ties
+
+
+@pytest.mark.parametrize("spec", [Index32_2D, Index64_3D],
+                         ids=lambda s: s.name)
+def test_pick_ray_batch_tie_matches_single(spec):
+    """The batched pick must reproduce the single-query (reference-exact)
+    tie-break row for row."""
+    import jax.numpy as jnp
+
+    smin, smax, bmin, bmax, _ = _scene(spec, 120, seed=29)
+    rng = np.random.default_rng(7)
+    ids = rng.choice(50_000, 120, replace=False).astype(np.uint32)
+    state, keys, tids = _built_layer(spec, smin, smax, bmin, bmax, ids)
+
+    def get_dist(cand_ids, mask):
+        return jnp.where(mask, jnp.float32(5.0), jnp.inf)
+
+    Q = 9
+    ro = rng.uniform(-45, 45, (Q, spec.dim)).astype(np.float32)
+    rd = rng.normal(size=(Q, spec.dim)).astype(np.float32)
+    rd[0] = 1.0                                  # |axis| ties
+    rd[1] = -1.0
+    state, batch = query.pick_ray_batch(spec, state, smin, smax, ro, rd,
+                                        np.float32(1e9), get_dist)
+    for q in range(Q):
+        state, single = query.pick_ray(spec, state, smin, smax,
+                                       ro[q], rd[q], np.float32(1e9),
+                                       get_dist)
+        assert bool(batch.found[q]) == bool(single.found), q
+        if bool(single.found):
+            assert int(batch.obj_id[q]) == int(single.obj_id), q
+            assert float(batch.distance[q]) == float(single.distance), q
