@@ -147,33 +147,40 @@ def _make_kernel():
             is_cov, jax.lax.bitcast_convert_type(bid, jnp.int32),
             0)).astype(jnp.uint32)
 
-        # ---- ranked-spread placement of in-tile entries at their slots
-        u = sv - t0
+        # ---- ranked-spread placement of in-tile entries at their slots.
+        # After the rotation every in-tile entry (distinct start slot in
+        # [t0, t0+T)) sits in the first T lanes, and targets are < T, so
+        # the whole placement runs on a HALF-window (T_ROWS, LANES) tile:
+        # an entry at lane l moves d = u - l < T - l and never wraps.
+        sv_h = sv[:T_ROWS]
+        ab_h = ab[:T_ROWS]
+        bid_h = bid[:T_ROWS]
+        lin32 = (jax.lax.broadcasted_iota(jnp.int32, (T_ROWS, LANES), 0)
+                 * LANES
+                 + jax.lax.broadcasted_iota(jnp.int32, (T_ROWS, LANES), 1))
+        u = sv_h - t0
         valid = (u >= 0) & (u < T)           # HUGE pad entries excluded
-        d = u - lin64                        # >= 0, nondecreasing over valid
+        d = u - lin32                        # >= 0, nondecreasing over valid
         rem = jnp.where(valid, d, -1)
         b_shift = T // 2                     # d <= T-1: bits 11..0
         while b_shift >= 1:
             inc_rem = _roll64(rem, b_shift)
-            inc_ab = _roll64(ab, b_shift)
-            inc_bid = _roll64(bid, b_shift)
+            inc_ab = _roll64(ab_h, b_shift)
+            inc_bid = _roll64(bid_h, b_shift)
             recv = (inc_rem >= 0) & ((inc_rem & b_shift) != 0)
             leave = (rem >= 0) & ((rem & b_shift) != 0)
-            ab = jnp.where(recv, inc_ab, ab)
-            bid = jnp.where(recv, inc_bid, bid)
+            ab_h = jnp.where(recv, inc_ab, ab_h)
+            bid_h = jnp.where(recv, inc_bid, bid_h)
             rem = jnp.where(recv, inc_rem - b_shift,
                             jnp.where(leave, -1, rem))
             b_shift //= 2
 
-        placed = (rem == 0)[:T_ROWS]
-        fab = jnp.where(placed, ab[:T_ROWS], 0)
-        fbid = jnp.where(placed, bid[:T_ROWS], 0)
+        placed = rem == 0
+        fab = jnp.where(placed, ab_h, 0)
+        fbid = jnp.where(placed, bid_h, 0)
 
         # ---- forward fill (runs tile the slot space: every unplaced slot
         # copies the nearest placed slot before it; none -> covering run)
-        lin32 = (jax.lax.broadcasted_iota(jnp.int32, (T_ROWS, LANES), 0)
-                 * LANES
-                 + jax.lax.broadcasted_iota(jnp.int32, (T_ROWS, LANES), 1))
         seen = placed
         s = 1
         while s < T:
