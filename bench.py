@@ -83,7 +83,7 @@ def _pipelined_p50(step, args, iters=30, warmup=3, batch=10):
     return float(np.percentile(batches, 50)), float(np.percentile(lat, 50))
 
 
-def bench_full_step(n, iters=30, warmup=3, pair_slack=16):
+def bench_full_step(n, iters=30, warmup=3, pair_slack=10, emit_slack=16):
     import jax
     import jax.numpy as jnp
 
@@ -91,15 +91,26 @@ def bench_full_step(n, iters=30, warmup=3, pair_slack=16):
 
     spec = Index64_3D
     smin, smax, bmin, bmax, ids = _scene(spec.dim, n)
+    # emit_cap bounds raw emissions (~15.7 slots/object at 1M density
+    # 1/1000); the emit-once rule kills the 46% duplicates at the source,
+    # so pair_cap only holds UNIQUE pairs (~8.53/object at 1M) and the
+    # canonical sort runs over 10n instead of 16n lanes
     pair_cap = ((pair_slack * n) // 1024) * 1024  # tile-aligned for pallas
+    emit_cap = ((emit_slack * n) // 1024) * 1024
+
+    # density 1/1000 with sizes 1-10 emits ~3.28 cells/object (measured);
+    # the tree capacity sets the lane count of the build sort AND the
+    # run-ends/prep passes, so right-size it with ~12% headroom instead of
+    # the worst-case 4n (any overflow is flagged and VERIFY would fail)
+    tree_cap = ((max(1, (37 * n) // 10) // 1024) + 1) * 1024
 
     @jax.jit
     def step(bounds_min, bounds_max, obj_ids):
-        # density 1/1000 with sizes 1-10 emits ~3.3 cells/object; cap at 4n
         state = layer.build(spec, jnp.asarray(smin), jnp.asarray(smax),
                             bounds_min, bounds_max, obj_ids,
-                            out_capacity=4 * n)
-        state, result = layer.scan(spec, state, pair_cap)
+                            out_capacity=tree_cap)
+        state, result = layer.scan(spec, state, pair_cap,
+                                   emit_capacity=emit_cap)
         return result.pairs_a, result.pairs_b, result.count, result.overflow
 
     d_bmin, d_bmax, d_ids = (jax.device_put(x) for x in (bmin, bmax, ids))
@@ -171,7 +182,10 @@ def bench_ball_pit_2d(n=10_000, iters=20):
     smin = np.zeros(2, np.float32)
     smax = np.ones(2, np.float32)
     ids = np.arange(n, dtype=np.uint32)
-    pair_cap = ((32 * n) // 1024) * 1024
+    # min_depth=4 multiplies cells/object, so raw emissions need 32n; the
+    # emit-once rule keeps only unique pairs -> 12n output budget
+    pair_cap = ((12 * n) // 1024) * 1024
+    emit_cap = ((32 * n) // 1024) * 1024
 
     @jax.jit
     def step(p, r):
@@ -179,7 +193,7 @@ def bench_ball_pit_2d(n=10_000, iters=20):
         bmax = p + r[:, None]
         st = layer.build(spec, jnp.asarray(smin), jnp.asarray(smax),
                          bmin, bmax, jnp.asarray(ids), min_depth=4)
-        st, res = layer.scan(spec, st, pair_cap)
+        st, res = layer.scan(spec, st, pair_cap, emit_capacity=emit_cap)
         return res.count, res.overflow
 
     d_pos, d_rad = jax.device_put(pos), jax.device_put(radius)
@@ -290,7 +304,8 @@ def bench_merge_scan_filtered(n=100_000, iters=30):
                          jnp.asarray(bmin[:half]), jnp.asarray(bmax[:half]),
                          jnp.asarray(ids[:half]), out_capacity=4 * half)
     jax.block_until_ready(static)
-    pair_cap = ((16 * n) // 1024) * 1024
+    pair_cap = ((10 * n) // 1024) * 1024
+    emit_cap = ((16 * n) // 1024) * 1024
 
     @jax.jit
     def step(st, dmin, dmax, dids):
@@ -299,7 +314,8 @@ def bench_merge_scan_filtered(n=100_000, iters=30):
                           dmin, dmax, dids, out_capacity=4 * n)
         merged = layer.merge(spec, dyn, st)
         merged, res = layer.scan_filtered(
-            spec, merged, pair_cap, lambda a, b: (a % 2) == (b % 2))
+            spec, merged, pair_cap, lambda a, b: (a % 2) == (b % 2),
+            emit_cap)
         return res.count, res.overflow
 
     args = (static, jnp.asarray(bmin[half:]), jnp.asarray(bmax[half:]),

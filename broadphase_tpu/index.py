@@ -23,8 +23,10 @@ validated against a naive per-bit oracle in ``tests/test_index.py``.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, List, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 
 from .ops import u64 as u64ops
@@ -458,6 +460,49 @@ def keys_to_numpy(spec: IndexSpec, key: Key):
     if spec.bits == 32:
         return np.asarray(key, dtype=np.uint32)
     return u64ops.to_py(key)
+
+
+def _ctz32(x: jnp.ndarray) -> jnp.ndarray:
+    """Trailing zeros of a uint32 array (32 where zero), as int32."""
+    x = jnp.asarray(x, jnp.uint32)
+    lsb = x & (jnp.uint32(0) - x)
+    p = 31 - jax.lax.clz(lsb.astype(jnp.int32)).astype(jnp.int32)
+    return jnp.where(x == 0, 32, p)
+
+
+@functools.lru_cache(maxsize=None)
+def _axis_interleave_mask(dim: int, axis_bits: int, axis: int) -> int:
+    m = 0
+    for j in range(axis_bits):
+        m |= 1 << (j * dim + axis)
+    return m
+
+
+def tz_pack(spec: IndexSpec, key: Key) -> jnp.ndarray:
+    """Per-axis trailing-zero counts of each cell's coordinate *in depth
+    units*, clamped to 31 and packed in 5-bit fields (axis k at bits
+    ``5*k``).  Input keys may be any shape; pad keys yield garbage (callers
+    mask).  Feeds the scan's emit-once dedup rule: the coordinate of cell
+    ``c`` at depth ``d`` is aligned to a depth-``s`` ancestor boundary on
+    axis k iff ``tz_k >= s``."""
+    ops = spec.ops
+    d = depth_of(spec, key).astype(jnp.int32)
+    morton = ops.shri(ops.and_(key, spec.origin_mask), spec.origin_shift)
+    out = jnp.zeros(d.shape, jnp.uint32)
+    for k in range(spec.dim):
+        mask = _axis_interleave_mask(spec.dim, spec.axis_bits, k)
+        m = ops.and_(morton, mask)
+        if spec.bits == 32:
+            p = _ctz32(m)
+            nz = m != 0
+        else:
+            p = jnp.where(m.lo != 0, _ctz32(m.lo), 32 + _ctz32(m.hi))
+            nz = (m.lo | m.hi) != 0
+        j = (p - k) // spec.dim              # coordinate bit index, exact
+        tz = j - (spec.axis_bits - d)        # depth-unit trailing zeros
+        tz = jnp.where(nz, jnp.clip(tz, 0, 31), 31).astype(jnp.uint32)
+        out = out | (tz << jnp.uint32(5 * k))
+    return out
 
 
 def keys_from_numpy(spec: IndexSpec, arr) -> Key:

@@ -43,12 +43,42 @@ from .ops.u64 import U64
 
 PAD_ID = jnp.uint32(0xFFFF_FFFF)
 
+# Ids strictly below this bound allow packing the per-entry aux bools into
+# the id sort column ((id << dim) | aux stays monotone in id and below the
+# packed pad 0xFFFF_FFFF for dim <= 3).  Wider ids degrade gracefully: aux
+# is dropped (zeros) and the scan's emit-once rule turns off (keep-all).
+_NARROW_ID_BOUND = jnp.uint32((1 << 29) - 1)
+
+
+@functools.lru_cache(maxsize=None)
+def _slot_aux_np(dim: int, A: int):
+    import numpy as np
+    S = A ** dim
+    s = np.arange(S, dtype=np.uint32)
+    aux = np.zeros(S, np.uint32)
+    for k in range(dim):
+        aux |= (((s // (A ** k)) % A) > 0).astype(np.uint32) << k
+    return aux
+
+
+def _slot_aux(spec: IndexSpec, slots_per_axis: int) -> jnp.ndarray:
+    """(S,) uint32 block-offset bools per grid-walk slot: bit k set iff the
+    slot is not the object's minimum cell along axis k (the walk emits the
+    object's cell block min-corner-first, x-fastest)."""
+    return jnp.asarray(_slot_aux_np(spec.dim, int(slots_per_axis)))
+
 
 class LayerState(NamedTuple):
     """Device-resident layer state (a pytree; `spec` travels separately)."""
 
     keys: Key                # (cap,) uint32 or U64
     ids: jnp.ndarray         # (cap,) uint32
+    aux: jnp.ndarray         # (cap,) uint32: per-entry block-offset bools
+    #   (bit k set iff the entry's cell is NOT its object's minimum cell
+    #   along axis k) — derived acceleration data for the scan's emit-once
+    #   dedup rule; all-zeros is always safe (rule degrades to keep-all,
+    #   duplicates removed by the canonical sort as before).  Not part of
+    #   reference layer state and excluded from equality/serialization.
     count: jnp.ndarray       # () int32
     sorted: jnp.ndarray      # () bool
     min_depth: jnp.ndarray   # () uint32
@@ -124,6 +154,7 @@ def make_layer(spec: IndexSpec, capacity: int, min_depth: int = 0) -> LayerState
     return LayerState(
         keys=spec.pad_key((capacity,)),
         ids=jnp.full((capacity,), PAD_ID, dtype=jnp.uint32),
+        aux=jnp.zeros((capacity,), dtype=jnp.uint32),
         count=jnp.int32(0),
         sorted=jnp.bool_(True),
         min_depth=jnp.uint32(min_depth),
@@ -148,6 +179,7 @@ def clear(state: LayerState) -> LayerState:
     return state._replace(
         keys=pad,
         ids=jnp.full((cap,), PAD_ID, jnp.uint32),
+        aux=jnp.zeros((cap,), jnp.uint32),
         count=jnp.int32(0),
         sorted=jnp.bool_(True),
         invalid_count=jnp.int32(0),
@@ -192,6 +224,8 @@ def extend(spec: IndexSpec, state: LayerState,
     S = valid.shape[1]
     flat_valid = valid.reshape(n * S)
     flat_ids = jnp.broadcast_to(ids[:, None], (n, S)).reshape(n * S)
+    flat_aux = jnp.broadcast_to(
+        _slot_aux(spec, slots_per_axis)[None, :], (n, S)).reshape(n * S)
 
     # stable stream compaction: object-major, x-fastest slot order — the
     # exact append order of the reference's sequential loop
@@ -200,6 +234,7 @@ def extend(spec: IndexSpec, state: LayerState,
     dest = jnp.where(flat_valid & (dest < cap), dest, cap)         # drop lane
 
     new_ids = state.ids.at[dest].set(flat_ids, mode="drop")
+    new_aux = state.aux.at[dest].set(flat_aux, mode="drop")
     if spec.bits == 32:
         flat_keys = keys.reshape(n * S)
         new_keys = state.keys.at[dest].set(flat_keys, mode="drop")
@@ -215,6 +250,7 @@ def extend(spec: IndexSpec, state: LayerState,
     return state._replace(
         keys=new_keys,
         ids=new_ids,
+        aux=new_aux,
         count=jnp.minimum(new_count, cap),
         sorted=state.sorted & (appended == 0),
         invalid_count=state.invalid_count +
@@ -259,14 +295,15 @@ def build(spec: IndexSpec, system_min, system_max,
         from .ops.pallas_build import emit_build
         out_cap = out_capacity if out_capacity is not None \
             else n * slots_per_axis ** spec.dim
-        key, fids, count, cell_ovf = emit_build(
+        key, fids, faux, count, cell_ovf = emit_build(
             spec, lmin, lmax, contained, ids, md, out_cap,
             slots_per_axis, interpret=jax.default_backend() != "tpu")
         overflow = cell_ovf | (count > out_cap)
-        skeys, sids = _sort_now(spec, key, fids)
+        skeys, sids, saux = _sort_now(spec, key, fids, faux)
         return LayerState(
             keys=skeys,
             ids=sids,
+            aux=saux,
             count=jnp.minimum(count, out_cap),
             sorted=jnp.bool_(True),
             min_depth=md,
@@ -285,6 +322,9 @@ def build(spec: IndexSpec, system_min, system_max,
     flat_ids = jnp.where(flat_valid,
                          jnp.broadcast_to(ids[:, None], (n, S)).reshape(cap),
                          PAD_ID)
+    flat_aux = jnp.where(flat_valid, jnp.broadcast_to(
+        _slot_aux(spec, slots_per_axis)[None, :], (n, S)).reshape(cap),
+        jnp.uint32(0))
     pad = spec.pad_key((n, S))
     keys = bidx.key_where(spec, valid, keys, pad)
     if spec.bits == 32:
@@ -298,7 +338,7 @@ def build(spec: IndexSpec, system_min, system_max,
         # compact live cells to the front and slice BEFORE the sort, so the
         # sort runs over out_capacity lanes instead of n * S.  On TPU the
         # single-pass streaming kernel; off-TPU the log-shift passes.
-        cols = bidx.sort_operands(spec, flat_keys) + (flat_ids,)
+        cols = bidx.sort_operands(spec, flat_keys) + (flat_ids, flat_aux)
         if _use_pallas_expand():
             from .ops.pallas_compact import stream_compact
             compacted, _cnt = stream_compact(
@@ -306,18 +346,21 @@ def build(spec: IndexSpec, system_min, system_max,
                 interpret=jax.default_backend() != "tpu")
         else:
             from .ops.compact import stable_compact
-            fills = (jnp.uint32(0xFFFF_FFFF),) * len(cols)
+            fills = (jnp.uint32(0xFFFF_FFFF),) * (len(cols) - 1) + (
+                jnp.uint32(0),)
             compacted, _cnt = stable_compact(flat_valid, cols, fills)
         compacted = tuple(c[:out_capacity] for c in compacted)
-        flat_keys = bidx.key_from_columns(spec, compacted[:-1])
-        flat_ids = compacted[-1]
+        flat_keys = bidx.key_from_columns(spec, compacted[:-2])
+        flat_ids = compacted[-2]
+        flat_aux = compacted[-1]
         overflow = overflow | (count > out_capacity)
         count = jnp.minimum(count, out_capacity)
 
-    skeys, sids = _sort_now(spec, flat_keys, flat_ids)
+    skeys, sids, saux = _sort_now(spec, flat_keys, flat_ids, flat_aux)
     return LayerState(
         keys=skeys,
         ids=sids,
+        aux=saux,
         count=count,
         sorted=jnp.bool_(True),
         min_depth=md,
@@ -340,10 +383,71 @@ def _sort_columns(cols):
     return jax.lax.sort(cols, num_keys=len(cols))
 
 
-def _sort_now(spec: IndexSpec, keys: Key, ids: jnp.ndarray):
-    ops = bidx.sort_operands(spec, keys) + (ids,)
-    sorted_ops = _sort_columns(ops)
-    return bidx.key_from_columns(spec, sorted_ops[:-1]), sorted_ops[-1]
+def _sort_now(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
+              aux: Optional[jnp.ndarray] = None):
+    """Sort (key, id) with the aux bools riding the id column.
+
+    When every live id fits 29 bits (checked at runtime) the id column is
+    ``(id << dim) | aux``: monotone in id, so the tuple order is identical
+    to sorting (key, id), and the aux travels through the sort with ZERO
+    extra operands.  Wider ids sort unpacked and drop aux to zeros (the
+    scan's emit-once rule degrades to keep-all — still exact)."""
+    if aux is None:
+        ops = bidx.sort_operands(spec, keys) + (ids,)
+        sorted_ops = _sort_columns(ops)
+        return bidx.key_from_columns(spec, sorted_ops[:-1]), sorted_ops[-1]
+    dim = spec.dim
+    m = jnp.uint32((1 << dim) - 1)
+    if ids.shape[0] == 0:
+        return keys, ids, aux
+    live = ids != PAD_ID
+    max_id = jnp.max(jnp.where(live, ids, 0))
+    narrow = max_id < _NARROW_ID_BOUND
+    packed = jnp.where(live, (ids << dim) | (aux & m), PAD_ID)
+
+    def _sort3(_):
+        idc = jnp.where(narrow, packed, ids)
+        sorted_ops = _sort_columns(bidx.sort_operands(spec, keys) + (idc,))
+        sc = sorted_ops[-1]
+        sids = jnp.where(narrow,
+                         jnp.where(sc == PAD_ID, PAD_ID, sc >> dim), sc)
+        saux = jnp.where(narrow & (sc != PAD_ID), sc & m, jnp.uint32(0))
+        key_cols = sorted_ops[:-1]
+        if spec.bits == 64:
+            return key_cols[0], key_cols[1], sids, saux
+        return key_cols[0], sids, saux
+
+    if spec.bits != 64:
+        return (lambda r: (r[0], r[1], r[2]))(_sort3(None))
+
+    # tier 2: when every live id fits 20 bits AND every key fits
+    # 64 - (20 + dim) bits (shallow-to-mid depths — the common case),
+    # the whole (key, id, aux) tuple packs into TWO u32 sort columns:
+    # P = key << (20 + dim) | id << dim | aux, monotone in (key, id)
+    idb = 20 + dim
+    kb = 64 - idb
+    hi_ok = jnp.max(jnp.where(live, keys.hi, 0)) < \
+        jnp.uint32((1 << (kb - 32)) - 1)
+    narrow2 = narrow & hi_ok & (max_id < jnp.uint32((1 << 20) - 1))
+
+    def _sort2(_):
+        ub = jnp.uint32(idb)
+        c_hi = jnp.where(live, (keys.hi << ub) | (keys.lo >> (32 - ub)),
+                         jnp.uint32(0xFFFF_FFFF))
+        c_lo = jnp.where(live, (keys.lo << ub) | packed,
+                         jnp.uint32(0xFFFF_FFFF))
+        h, low = _sort_columns((c_hi, c_lo))
+        pad2 = h == jnp.uint32(0xFFFF_FFFF)
+        khi = jnp.where(pad2, jnp.uint32(0xFFFF_FFFF), h >> ub)
+        klo = jnp.where(pad2, jnp.uint32(0xFFFF_FFFF),
+                        (h << (32 - ub)) | (low >> ub))
+        sids = jnp.where(pad2, PAD_ID,
+                         (low & jnp.uint32((1 << idb) - 1)) >> dim)
+        saux = jnp.where(pad2, jnp.uint32(0), low & m)
+        return khi, klo, sids, saux
+
+    khi, klo, sids, saux = jax.lax.cond(narrow2, _sort2, _sort3, None)
+    return U64(khi, klo), sids, saux
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -353,8 +457,9 @@ def sort(spec: IndexSpec, state: LayerState) -> LayerState:
     Pad entries sort to the tail.  No-op when already sorted."""
 
     def do_sort(s):
-        keys, ids = _sort_now(spec, s.keys, s.ids)
-        return s._replace(keys=keys, ids=ids, sorted=jnp.bool_(True))
+        keys, ids, aux = _sort_now(spec, s.keys, s.ids, s.aux)
+        return s._replace(keys=keys, ids=ids, aux=aux,
+                          sorted=jnp.bool_(True))
 
     return jax.lax.cond(state.sorted, lambda s: s, do_sort, state)
 
@@ -400,11 +505,13 @@ def _merge_jit(spec: IndexSpec, state: LayerState, other: LayerState
     def _sorted_merge(args):
         st, ot = args
         cols = tuple(jnp.concatenate([x, y]) for x, y in zip(
-            bidx.sort_operands(spec, st.keys) + (st.ids,),
-            bidx.sort_operands(spec, ot.keys) + (ot.ids,)))
-        out = jax.lax.sort(cols, num_keys=len(cols))
+            bidx.sort_operands(spec, st.keys) + (st.ids, st.aux),
+            bidx.sort_operands(spec, ot.keys) + (ot.ids, ot.aux)))
+        # aux rides as a non-key payload: the (key, id) tuple is unique
+        # over live entries, so stability is immaterial
+        out = jax.lax.sort(cols, num_keys=len(cols) - 1)
         out = tuple(c[:cap] for c in out)
-        return (bidx.key_from_columns(spec, out[:-1]), out[-1],
+        return (bidx.key_from_columns(spec, out[:-2]), out[-2], out[-1],
                 jnp.bool_(True))
 
     def _append_merge(args):
@@ -414,6 +521,7 @@ def _merge_jit(spec: IndexSpec, state: LayerState, other: LayerState
         take = src < ot.count
         dest = jnp.where(take & (dest < cap), dest, cap)
         new_ids = st.ids.at[dest].set(ot.ids, mode="drop")
+        new_aux = st.aux.at[dest].set(ot.aux, mode="drop")
         if spec.bits == 32:
             new_keys = st.keys.at[dest].set(ot.keys, mode="drop")
         else:
@@ -421,15 +529,16 @@ def _merge_jit(spec: IndexSpec, state: LayerState, other: LayerState
                 st.keys.hi.at[dest].set(ot.keys.hi, mode="drop"),
                 st.keys.lo.at[dest].set(ot.keys.lo, mode="drop"),
             )
-        return new_keys, new_ids, st.sorted & (ot.count == 0)
+        return new_keys, new_ids, new_aux, st.sorted & (ot.count == 0)
 
-    new_keys, new_ids, new_sorted = jax.lax.cond(
+    new_keys, new_ids, new_aux, new_sorted = jax.lax.cond(
         state.sorted & other.sorted, _sorted_merge, _append_merge,
         (state, other))
     new_count = state.count + other.count
     return state._replace(
         keys=new_keys,
         ids=new_ids,
+        aux=new_aux,
         count=jnp.minimum(new_count, cap),
         sorted=new_sorted,
         min_depth=jnp.minimum(state.min_depth, other.min_depth),
@@ -519,10 +628,25 @@ def canonical_pairs(a: jnp.ndarray, b: jnp.ndarray, valid: jnp.ndarray,
     prev_b = jnp.concatenate([b_s[:1], b_s[:-1]])
     keep = (a_s != PAD_ID) & ((a_s != prev_a) | (b_s != prev_b))
     if compaction == "stream":
-        # single-pass streaming kernel (ops/pallas_compact.py; self-pads)
-        from .ops.pallas_compact import stream_compact
-        (out_a, out_b), count = stream_compact(
-            keep, (a_s, b_s), interpret=jax.default_backend() != "tpu")
+        # the sort already pushes PAD lanes to the tail, so when no
+        # duplicates survived (the emit-once rule's normal case) the
+        # sorted arrays ARE the answer: skip the compaction kernel via a
+        # runtime cond and pay only the adjacent-compare reductions
+        n_valid = jnp.sum((a_s != PAD_ID).astype(jnp.int32))
+        count = jnp.sum(keep.astype(jnp.int32))
+
+        def _already_unique(ops):
+            return ops
+
+        def _compact(ops):
+            # single-pass streaming kernel (ops/pallas_compact.py)
+            from .ops.pallas_compact import stream_compact
+            (ca, cb), _cnt = stream_compact(
+                keep, ops, interpret=jax.default_backend() != "tpu")
+            return ca[:a_s.shape[0]], cb[:b_s.shape[0]]
+
+        out_a, out_b = jax.lax.cond(count == n_valid, _already_unique,
+                                    _compact, (a_s, b_s))
         return out_a, out_b, count
     if compaction == "shift":
         from .ops.compact import stable_compact
@@ -535,16 +659,106 @@ def canonical_pairs(a: jnp.ndarray, b: jnp.ndarray, valid: jnp.ndarray,
     return out_a, out_b, jnp.sum(keep.astype(jnp.int32))
 
 
+def _emit_once_keep(dim: int, a_meta: jnp.ndarray,
+                    b_meta: jnp.ndarray) -> jnp.ndarray:
+    """Emit-once dedup rule: keep this (a descendant-side, b ancestor-side)
+    emission iff a's cell is the pair's canonical cell.
+
+    An object's cells form a rectangular block of up-to-``A^dim`` adjacent
+    cells at one depth; a candidate pair (S shallower, D deeper, s =
+    depth_D - depth_S >= 0) is emitted once for every D-cell whose depth-S
+    ancestor lies in S's block.  The canonical D-cell is the componentwise
+    max of ``(Smin << s, Dmin)`` — always one of the emitted cells — and
+    membership is a local test: per axis, EITHER the D cell is D's block
+    min (``e_Dk == 0``), OR the S cell is S's block min (``f_k == 0``)
+    AND the D coordinate is aligned to a depth-S boundary (``tz_k >= s``).
+    Every candidate pair is therefore kept exactly once (self-pairs are
+    left to the downstream ``a != b`` mask).
+
+    The per-axis test folds into two scalar comparisons: with U = the
+    axes where ``e_Dk != 0``, it is ``(e_D & f) == 0`` (all U axes have S
+    at its block min) AND ``min_{k in U} tz_k >= s``, and the latter is
+    ``alpha <= depth_S`` for the per-ENTRY constant ``alpha = max(0,
+    depth_D - min_U tz_k)`` (0 when U is empty) — see :func:`_alpha_meta`.
+
+    a_meta: ``(alpha << dim) | e`` byte of the descendant-side entry;
+    b_meta: ``(depth << dim) | e`` byte of the ancestor-side entry.
+    """
+    am = a_meta.astype(jnp.int32)
+    bm = b_meta.astype(jnp.int32)
+    emask = (1 << dim) - 1
+    return ((am & bm & emask) == 0) & ((am >> dim) <= (bm >> dim))
+
+
+def _alpha_meta(spec: IndexSpec, keys: Key, dep: jnp.ndarray,
+                aux: jnp.ndarray) -> jnp.ndarray:
+    """Per-entry a-side rule byte ``(alpha << dim) | e``: alpha is the
+    shallowest ancestor-depth boundary the cell coordinate is aligned to
+    on every non-block-min axis (0 when the cell is its object's block
+    min on all axes)."""
+    dim = spec.dim
+    tz = bidx.tz_pack(spec, keys).astype(jnp.int32)
+    mtz = None
+    for k in range(dim):
+        tz_k = (tz >> (5 * k)) & 31
+        # axes where the entry IS the block min don't constrain alignment
+        tz_k = jnp.where((aux >> k) & 1 != 0, tz_k, 31)
+        mtz = tz_k if mtz is None else jnp.minimum(mtz, tz_k)
+    alpha = jnp.clip(dep.astype(jnp.int32) - mtz, 0, 31).astype(jnp.uint32)
+    return ((alpha << jnp.uint32(dim))
+            | (aux & jnp.uint32((1 << dim) - 1))) & jnp.uint32(0xFF)
+
+
+def _finish_pairs(a, b, valid, pair_capacity: int, emit_capacity: int,
+                  pair_overflow, max_id, compaction: str,
+                  extra_overflow, interpret: bool) -> ScanResult:
+    """Canonical sort + dedup tail shared by the expansion paths.  When the
+    emission buffer is wider than the pair buffer, valid pairs are first
+    stream-compacted and sliced so the O(P log^2 P) canonical sort runs
+    over ``pair_capacity`` lanes, not ``emit_capacity``."""
+    if emit_capacity > pair_capacity:
+        if compaction == "stream":
+            from .ops.pallas_compact import stream_compact
+            (ca, cb), ccnt = stream_compact(valid, (a, b),
+                                            interpret=interpret)
+        else:
+            from .ops.compact import stable_compact
+            (ca, cb), ccnt = stable_compact(valid, (a, b),
+                                            (PAD_ID, PAD_ID))
+        a, b = ca[:pair_capacity], cb[:pair_capacity]
+        pair_overflow = pair_overflow | (ccnt > pair_capacity)
+        valid = a != PAD_ID
+    out_a, out_b, pair_count = canonical_pairs(a, b, valid, compaction,
+                                               max_id_hint=max_id)
+    overflow = pair_overflow
+    if extra_overflow is not None:
+        overflow = overflow | extra_overflow
+    return ScanResult(out_a, out_b, pair_count, overflow)
+
+
 def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
                count: jnp.ndarray, pair_capacity: int,
-               filter_fn=None, extra_overflow=None) -> ScanResult:
+               filter_fn=None, extra_overflow=None,
+               aux: Optional[jnp.ndarray] = None,
+               emit_capacity: Optional[int] = None) -> ScanResult:
     """Data-parallel pair expansion over a *sorted* (keys, ids) array.
 
     Shared by the single-chip :func:`scan` and the multi-chip sharded scan
     (``broadphase_tpu.parallel``).  ``keys``/``ids`` must be sorted with pad
     entries (all-ones keys) at the tail; ``count`` is the live prefix length.
+
+    ``aux`` (per-entry block-offset bools, ``LayerState.aux``) enables the
+    emit-once dedup rule: duplicate emissions of multi-cell pairs are
+    killed at the source instead of by the canonical sort, so
+    ``pair_capacity`` only needs to hold UNIQUE pairs while
+    ``emit_capacity`` (default: ``pair_capacity``) bounds raw emissions.
+    Without aux (or ids too wide to pack) every emission survives to the
+    sort, and ``pair_capacity`` must be sized for emissions as before.
     """
     cap = ids.shape[0]
+    emit_cap = int(emit_capacity) if emit_capacity is not None \
+        else pair_capacity
+    emit_cap = max(emit_cap, pair_capacity)
     if cap == 0:        # empty layer: nothing to pair
         empty = jnp.full((pair_capacity,), PAD_ID, jnp.uint32)
         ovf = jnp.bool_(False) if extra_overflow is None else extra_overflow
@@ -556,113 +770,134 @@ def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
     # invariant behind the reference's stack sweep (SURVEY.md §3.2).
     # descendant_run_ends = adjacent-LCA clz + per-depth reverse cummins:
     # no sorts, no gathers (see ops.search).
-    e = search.descendant_run_ends(spec, keys, bidx.depth_of(spec, keys))
+    dep = bidx.depth_of(spec, keys)
+    e = search.descendant_run_ends(spec, keys, dep)
 
     import os
     use_pallas = _use_pallas_expand(pair_capacity)
     v2 = os.environ.get("BROADPHASE_EXPAND") == "v2"
     interpret = jax.default_backend() != "tpu"
 
+    dim = spec.dim
+    lane = jnp.arange(cap, dtype=jnp.int32)
+    live = lane < count
+    live_ids = jnp.where(live, ids, 0)
+    max_id = jnp.max(live_ids) if cap else jnp.uint32(0)
+    aux_arr = aux if aux is not None else jnp.zeros((cap,), jnp.uint32)
+    # (depth << dim) | e byte per entry (b-side metadata for the rule)
+    meta8 = ((dep << jnp.uint32(dim))
+             | (aux_arr & jnp.uint32((1 << dim) - 1))) & jnp.uint32(0xFF)
+
     if use_pallas and not v2:
         # Fused forward kernel (ops/pallas_prep.py): run lengths, the
         # starts prefix sum, and the nonempty-entry compaction in one pass
         # (run/starts never touch HBM), feeding the v3 expansion kernel
         # (ops/pallas_expand2.py: ranked-spread placement + log-shift fill;
-        # gather-free b-side, windowed-DMA a-side).
+        # gather-free b-side, windowed-DMA a-side).  When every live id
+        # fits 24 bits, both sides' rule metadata ride the EXISTING id
+        # plumbing with ZERO extra gathers: prep compacts the b-packed
+        # stream ((id << 8) | (depth << dim) | e), the window carries the
+        # a-packed stream ((id << 8) | (alpha << dim) | e).
         from .ops.pallas_prep import prep_runs
         from .ops.pallas_expand2 import expand_pairs_prepped
-        sv, ab, bid, _m, total, wrapped = prep_runs(e, ids, count,
+        narrow = max_id < jnp.uint32((1 << 24) - 1)
+        packed_b = jnp.where(live, (ids << jnp.uint32(8)) | meta8, PAD_ID)
+        ids_b = jnp.where(narrow, packed_b, ids)
+        ameta = _alpha_meta(spec, keys, dep, aux_arr)
+        packed_a = jnp.where(live, (ids << jnp.uint32(8)) | ameta, PAD_ID)
+        ids_a = jnp.where(narrow, packed_a, ids)
+        sv, ab, bid, _m, total, wrapped = prep_runs(e, ids_b, count,
                                                     interpret=interpret)
-        pair_overflow = wrapped | (total > pair_capacity)
-        a, b = expand_pairs_prepped(ids, sv, ab, bid, total, pair_capacity,
+        pair_overflow = wrapped | (total > emit_cap)
+        a, b = expand_pairs_prepped(ids_a, sv, ab, bid, total,
+                                    emit_cap, rule=narrow, dim=dim,
                                     interpret=interpret)
-        # slots >= total carry PAD on BOTH sides, so the a != b dedup mask
-        # below excludes them for free — no t < total pass needed
+        # slots >= total and rule-dropped duplicates carry PAD on BOTH
+        # sides, so the a != b dedup mask below excludes them for free
         valid = a != b
         if filter_fn is not None:
             valid = valid & jnp.asarray(filter_fn(a, b), jnp.bool_)
-        live_ids = jnp.where(jnp.arange(cap, dtype=jnp.int32) < count,
-                             ids, 0)
-        max_id = jnp.max(live_ids) if cap else jnp.uint32(0)
-        out_a, out_b, pair_count = canonical_pairs(a, b, valid, "stream",
-                                                   max_id_hint=max_id)
-        overflow = pair_overflow
-        if extra_overflow is not None:
-            overflow = overflow | extra_overflow
-        return ScanResult(out_a, out_b, pair_count, overflow)
+        return _finish_pairs(a, b, valid, pair_capacity, emit_cap,
+                             pair_overflow, max_id, "stream",
+                             extra_overflow, interpret)
 
     e = jnp.minimum(e, count)
-    j_idx = jnp.arange(cap, dtype=jnp.int32)
-    run = jnp.where(j_idx < count, jnp.maximum(e - (j_idx + 1), 0), 0)
+    run = jnp.where(lane < count, jnp.maximum(e - (lane + 1), 0), 0)
 
     starts_incl = jnp.cumsum(run)
     starts = starts_incl - run                       # exclusive prefix sum
     total = starts_incl[cap - 1] if cap > 0 else jnp.int32(0)
     # int32 wrap detection: cumsum of non-negatives must be non-decreasing
     wrapped = jnp.any(starts_incl < starts)
-    pair_overflow = wrapped | (total > pair_capacity)
+    pair_overflow = wrapped | (total > emit_cap)
 
     # Pass 2 — flat emission: pair slot t -> (j, i = j + 1 + offset)
-    t = jnp.arange(pair_capacity, dtype=jnp.int32)
+    t = jnp.arange(emit_cap, dtype=jnp.int32)
     if use_pallas:
-        # v2 A/B fallback kernel (per-lane binary search)
+        # v2 A/B fallback kernel (per-lane binary search); no emit-once
+        # rule — duplicates all survive to the canonical sort
         from .ops.pallas_expand import expand_pairs
-        a, b = expand_pairs(ids, starts, run, total, pair_capacity,
+        a, b = expand_pairs(ids, starts, run, total, emit_cap,
                             interpret=interpret)
         valid = (t < total) & (a != b)
     else:
-        j, off = search.expand_runs(starts, pair_capacity)
+        j, off = search.expand_runs(starts, emit_cap)
         j = jnp.clip(j, 0, cap - 1)
         off = jnp.maximum(off, 0)
         i = jnp.clip(j + 1 + off, 0, cap - 1)
         a = ids[i]                                   # later element (current)
         # earlier element (stack): gather-free segmented broadcast
-        b = search.segmented_broadcast(starts, run, ids, pair_capacity)
+        b = search.segmented_broadcast(starts, run, ids, emit_cap)
         valid = (t < total) & (a != b)
+        # emit-once rule (same math as the kernel; needs no id packing
+        # here since a-side metadata is gathered directly)
+        ameta = _alpha_meta(spec, keys, dep, aux_arr)
+        bmeta = search.segmented_broadcast(starts, run, meta8, emit_cap)
+        valid = valid & _emit_once_keep(dim, ameta[i], bmeta)
     if filter_fn is not None:
         valid = valid & jnp.asarray(filter_fn(a, b), jnp.bool_)
 
-    # the pair ids all come from the layer's id array: reduce the (small)
-    # id array once for the packed-sort predicate instead of the pair lanes
-    live_ids = jnp.where(jnp.arange(cap, dtype=jnp.int32) < count, ids, 0)
-    max_id = jnp.max(live_ids) if cap else jnp.uint32(0)
-
     compaction = "stream" if _use_pallas_expand(pair_capacity) else "shift"
-    out_a, out_b, pair_count = canonical_pairs(a, b, valid, compaction,
-                                               max_id_hint=max_id)
-
-    overflow = pair_overflow
-    if extra_overflow is not None:
-        overflow = overflow | extra_overflow
-    return ScanResult(out_a, out_b, pair_count, overflow)
+    return _finish_pairs(a, b, valid, pair_capacity, emit_cap,
+                         pair_overflow, max_id, compaction,
+                         extra_overflow, interpret)
 
 
 def _scan_core(spec: IndexSpec, state: LayerState, pair_capacity: int,
-               filter_fn) -> Tuple[LayerState, ScanResult]:
+               filter_fn, emit_capacity: Optional[int] = None
+               ) -> Tuple[LayerState, ScanResult]:
     state = sort(spec, state)
     result = scan_pairs(spec, state.keys, state.ids, state.count,
                         pair_capacity, filter_fn,
-                        extra_overflow=state.overflow)
+                        extra_overflow=state.overflow,
+                        aux=state.aux, emit_capacity=emit_capacity)
     return state, result
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
-def scan(spec: IndexSpec, state: LayerState,
-         pair_capacity: int) -> Tuple[LayerState, ScanResult]:
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def scan(spec: IndexSpec, state: LayerState, pair_capacity: int,
+         emit_capacity: Optional[int] = None
+         ) -> Tuple[LayerState, ScanResult]:
     """All-pairs candidate collision scan (reference ``src/layer.rs:449-477``).
 
     Returns the sorted, deduplicated (id_later, id_earlier) pair list —
-    bit-identical to the reference's scan output."""
-    return _scan_core(spec, state, pair_capacity, None)
+    bit-identical to the reference's scan output.
+
+    ``pair_capacity`` bounds the OUTPUT pair list.  ``emit_capacity``
+    (optional, >= pair_capacity) bounds raw cell-pair emissions before the
+    emit-once dedup; splitting them lets the canonical sort run over the
+    (much smaller) unique-pair budget.  Default: both equal."""
+    return _scan_core(spec, state, pair_capacity, None, emit_capacity)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def scan_filtered(spec: IndexSpec, state: LayerState, pair_capacity: int,
-                  filter_fn: Callable) -> Tuple[LayerState, ScanResult]:
+                  filter_fn: Callable, emit_capacity: Optional[int] = None
+                  ) -> Tuple[LayerState, ScanResult]:
     """scan with a user predicate applied before dedup
     (reference ``src/layer.rs:460-477``).  ``filter_fn(a_ids, b_ids)`` must be
     a traceable vectorized function returning a bool mask."""
-    return _scan_core(spec, state, pair_capacity, filter_fn)
+    return _scan_core(spec, state, pair_capacity, filter_fn, emit_capacity)
 
 
 # parallel scan is the same kernel on TPU (determinism comes from the

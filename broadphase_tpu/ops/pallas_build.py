@@ -100,7 +100,7 @@ def _make_kernel(spec: IndexSpec, A: int, n_tiles: int, out_blocks: int,
     dim = spec.dim
     S = A ** dim
     u64 = spec.bits == 64
-    n_cols = (2 if u64 else 1) + 1
+    n_cols = (2 if u64 else 1) + 2      # [hi,] lo, id, aux
     cat_rows = S * OBJ_ROWS
 
     def kernel(md_ref, *refs):
@@ -170,15 +170,18 @@ def _make_kernel(spec: IndexSpec, A: int, n_tiles: int, out_blocks: int,
         # ---- slot keys + validity, gathered slot-major into (S*8, 128)
         ids_t = ids_ref[:]
         depth_u = depth_i.astype(jnp.uint32)
-        hi_parts, lo_parts, id_parts, valid_parts = [], [], [], []
+        hi_parts, lo_parts, id_parts, aux_parts, valid_parts = \
+            [], [], [], [], []
         for s_ in range(S):
             morton = None
             vsl = contained
+            eb = 0
             for axis in range(dim):
                 i = (s_ // (A ** axis)) % A
                 sp = spread[axis][i]
                 morton = sp if morton is None else ops.or_(morton, sp)
                 if i > 0:
+                    eb |= 1 << axis
                     # slot i valid iff naxis > i iff span >= i (unsigned)
                     vsl = vsl & ~_ugt(
                         jnp.full(spans[axis].shape, i, jnp.uint32),
@@ -194,6 +197,12 @@ def _make_kernel(spec: IndexSpec, A: int, n_tiles: int, out_blocks: int,
                 lo_parts.append(jnp.where(depth_i == 0,
                                           jnp.zeros_like(key), key))
             id_parts.append(ids_t)
+            # block-offset bools (emit-once dedup aux): slot s_'s per-axis
+            # nonzero offsets are a compile-time constant; depth-0 objects
+            # emit the single whole-system cell -> offset 0
+            aux_parts.append(jnp.where(
+                depth_i == 0, jnp.zeros_like(ids_t),
+                jnp.full(ids_t.shape, eb, jnp.uint32)))
             valid_parts.append(vsl)
 
         valid_cat = jnp.concatenate(valid_parts, axis=0)
@@ -202,6 +211,7 @@ def _make_kernel(spec: IndexSpec, A: int, n_tiles: int, out_blocks: int,
             cols_cat.append(jnp.concatenate(hi_parts, axis=0))
         cols_cat.append(jnp.concatenate(lo_parts, axis=0))
         cols_cat.append(jnp.concatenate(id_parts, axis=0))
+        cols_cat.append(jnp.concatenate(aux_parts, axis=0))
 
         compacted, k = _tile_compact(valid_cat, cols_cat)
 
@@ -285,17 +295,18 @@ def emit_build(spec: IndexSpec, lmin, lmax, contained, ids, min_depth,
     lmin/lmax: (N, dim) uint32 local bounds; contained: (N,) bool;
     ids: (N,) uint32; min_depth: traced uint32 scalar.
 
-    Returns (key, ids, count, cell_overflow): key/ids of length
+    Returns (key, ids, aux, count, cell_overflow): key/ids of length
     ``out_capacity`` with PAD beyond ``min(count, out_capacity)`` (masked
-    by the caller), count = total valid cells emitted (may exceed
-    out_capacity — caller flags overflow), cell_overflow = bool.
+    by the caller), aux = per-cell block-offset bools (0 beyond count),
+    count = total valid cells emitted (may exceed out_capacity — caller
+    flags overflow), cell_overflow = bool.
     """
     A = int(slots_per_axis)
     dim = spec.dim
     S = A ** dim
     n = ids.shape[0]
     u64 = spec.bits == 64
-    n_cols = (2 if u64 else 1) + 1
+    n_cols = (2 if u64 else 1) + 2
     stage_rows = S * OBJ_ROWS + OUT_ROWS
 
     npad = -(-max(n, 1) // OBJ) * OBJ
@@ -342,10 +353,13 @@ def emit_build(spec: IndexSpec, lmin, lmax, contained, ids, min_depth,
     lane = jnp.arange(out_capacity, dtype=jnp.int32)
     capped = jnp.minimum(count, out_capacity)
     flat = [jnp.where(lane < capped, o.reshape(out_len)[:out_capacity],
-                      jnp.uint32(PAD)) for o in outs[:n_cols]]
+                      jnp.uint32(PAD)) for o in outs[:n_cols - 1]]
+    aux = jnp.where(lane < capped,
+                    outs[n_cols - 1].reshape(out_len)[:out_capacity],
+                    jnp.uint32(0))
     if u64:
         from .u64 import U64
         key = U64(flat[0], flat[1])
     else:
         key = flat[0]
-    return key, flat[-1], count, cell_ovf
+    return key, flat[-1], aux, count, cell_ovf

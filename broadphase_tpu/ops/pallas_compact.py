@@ -101,7 +101,11 @@ def _tile_compact(keep, cols, iota=None):
     return arrs, jnp.sum(ki)
 
 
-def _make_kernel(n_cols, n_tiles, fills):
+def _make_kernel(n_cols, n_tiles, fills, tile_rows=TILE_ROWS):
+    TR = tile_rows
+    TL = TR * LANES
+    SR = 2 * TR
+
     def kernel(keep_ref, *refs):
         col_refs = refs[:n_cols]
         out_refs = refs[n_cols:2 * n_cols]
@@ -111,16 +115,16 @@ def _make_kernel(n_cols, n_tiles, fills):
         sems = refs[2 * n_cols + 2 + n_cols]
 
         g = pl.program_id(0)
-        iota = (jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
+        iota = (jax.lax.broadcasted_iota(jnp.int32, (TR, LANES), 0)
                 * LANES
-                + jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1))
+                + jax.lax.broadcasted_iota(jnp.int32, (TR, LANES), 1))
 
         @pl.when(g == 0)
         def _init():
             pos_ref[0] = 0      # entries currently in staging
             pos_ref[1] = 0      # 1024-blocks already flushed
             for s, f in zip(stage, fills):
-                s[:] = jnp.full((STAGE_ROWS, LANES), f, jnp.uint32)
+                s[:] = jnp.full((SR, LANES), f, jnp.uint32)
 
         keep = keep_ref[:] != 0
         cols = tuple(r[:] for r in col_refs)
@@ -130,12 +134,12 @@ def _make_kernel(n_cols, n_tiles, fills):
         # append: entries land at staging offsets [staged, staged + k)
         for s, c, f in zip(stage, compacted, fills):
             pad2 = jnp.concatenate(
-                [c, jnp.full((TILE_ROWS, LANES), f, c.dtype)], axis=0)
+                [c, jnp.full((TR, LANES), f, c.dtype)], axis=0)
             rolled = _elem_roll(pad2, staged)
             sidx = (jax.lax.broadcasted_iota(jnp.int32,
-                                             (STAGE_ROWS, LANES), 0) * LANES
+                                             (SR, LANES), 0) * LANES
                     + jax.lax.broadcasted_iota(jnp.int32,
-                                               (STAGE_ROWS, LANES), 1))
+                                               (SR, LANES), 1))
             put = (sidx >= staged) & (sidx < staged + k)
             s[:] = jnp.where(put, rolled, s[:])
         staged = staged + k
@@ -143,47 +147,49 @@ def _make_kernel(n_cols, n_tiles, fills):
 
         is_last = g == n_tiles - 1
 
-        @pl.when(staged >= TILE)
+        @pl.when(staged >= TL)
         def _flush():
             blk = pos_ref[1]
             copies = [pltpu.make_async_copy(
-                s.at[pl.ds(0, TILE_ROWS), :],
-                o.at[pl.ds(blk * TILE_ROWS, TILE_ROWS), :],
+                s.at[pl.ds(0, TR), :],
+                o.at[pl.ds(blk * TR, TR), :],
                 sems.at[i]) for i, (s, o) in enumerate(zip(stage, out_refs))]
             for c in copies:
                 c.start()
             for c in copies:
                 c.wait()
             for s, f in zip(stage, fills):
-                shifted = pltpu.roll(s[:], STAGE_ROWS - TILE_ROWS, axis=0)
+                shifted = pltpu.roll(s[:], SR - TR, axis=0)
                 lanei = jax.lax.broadcasted_iota(
-                    jnp.int32, (STAGE_ROWS, LANES), 0)
-                s[:] = jnp.where(lanei < TILE_ROWS, shifted,
-                                 jnp.full((STAGE_ROWS, LANES), f,
+                    jnp.int32, (SR, LANES), 0)
+                s[:] = jnp.where(lanei < TR, shifted,
+                                 jnp.full((SR, LANES), f,
                                           jnp.uint32))
             pos_ref[1] = blk + 1
-            pos_ref[0] = staged - TILE
+            pos_ref[0] = staged - TL
 
         @pl.when(is_last)
         def _final():
             # flush the (partial) remainder; staging holds fill beyond it
             blk = pos_ref[1]
             copies = [pltpu.make_async_copy(
-                s.at[pl.ds(0, TILE_ROWS), :],
-                o.at[pl.ds(blk * TILE_ROWS, TILE_ROWS), :],
+                s.at[pl.ds(0, TR), :],
+                o.at[pl.ds(blk * TR, TR), :],
                 sems.at[i]) for i, (s, o) in enumerate(zip(stage, out_refs))]
             for c in copies:
                 c.start()
             for c in copies:
                 c.wait()
-            cnt_ref[0] = blk * TILE + pos_ref[0]
+            cnt_ref[0] = blk * TL + pos_ref[0]
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("fills", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("fills", "tile_rows", "interpret"))
 def stream_compact(keep: jnp.ndarray, cols: Sequence[jnp.ndarray],
-                   fills=None, interpret: bool = False
+                   fills=None, tile_rows: int = 0,
+                   interpret: bool = False
                    ) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
     """Single-pass ordered compaction of u32 columns by ``keep``.
 
@@ -203,7 +209,13 @@ def stream_compact(keep: jnp.ndarray, cols: Sequence[jnp.ndarray],
     if fills is None:
         fills = (0xFFFF_FFFF,) * n_cols
     assert len(fills) == n_cols
-    N = -(-N0 // TILE) * TILE
+    if tile_rows == 0:
+        # the grid is sequential, so per-step fixed costs dominate big
+        # inputs: scale the tile with N (measured: 16M lanes at 4096-entry
+        # tiles spend ~6 of 7 ms on ~3900 step latencies)
+        tile_rows = 128 if N0 >= (1 << 21) else TILE_ROWS
+    TL = tile_rows * LANES
+    N = -(-N0 // TL) * TL
     if N != N0:
         keep = jnp.concatenate(
             [keep.astype(jnp.bool_), jnp.zeros((N - N0,), jnp.bool_)])
@@ -211,22 +223,22 @@ def stream_compact(keep: jnp.ndarray, cols: Sequence[jnp.ndarray],
             [jnp.asarray(c, jnp.uint32),
              jnp.full((N - N0,), f, jnp.uint32)])
             for c, f in zip(cols, fills))
-    n_tiles = N // TILE
+    n_tiles = N // TL
     # output gets one spare block so the final partial flush fits
-    out_len = N + TILE
+    out_len = N + TL
 
-    kern = _make_kernel(n_cols, n_tiles, tuple(fills))
+    kern = _make_kernel(n_cols, n_tiles, tuple(fills), tile_rows)
     outs = pl.pallas_call(
         kern,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec((TILE_ROWS, LANES), lambda g: (g, 0),
+        in_specs=[pl.BlockSpec((tile_rows, LANES), lambda g: (g, 0),
                                memory_space=pltpu.VMEM)] * (1 + n_cols),
         out_specs=([pl.BlockSpec(memory_space=pl.ANY)] * n_cols
                    + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
         out_shape=([jax.ShapeDtypeStruct((out_len // LANES, LANES),
                                          jnp.uint32)] * n_cols
                    + [jax.ShapeDtypeStruct((1,), jnp.int32)]),
-        scratch_shapes=([pltpu.VMEM((STAGE_ROWS, LANES), jnp.uint32)]
+        scratch_shapes=([pltpu.VMEM((2 * tile_rows, LANES), jnp.uint32)]
                         * n_cols
                         + [pltpu.SMEM((2,), jnp.int32),
                            pltpu.SemaphoreType.DMA((n_cols,))]),

@@ -87,24 +87,28 @@ def _dyn_roll(x, s):
     return jnp.where(lane >= b, y1, y2)
 
 
-def _gather_idwin(win, idx):
-    """acc[r, l] = win[idx[r, l]] over a (IDW_ROWS, 128) window: the
+def _gather_idwin(wins, idx):
+    """accs[j][r, l] = wins[j][idx[r, l]] over (IDW_ROWS, 128) windows: the
     row-loop + take_along_axis lane gather (the only per-lane gather Mosaic
-    supports)."""
+    supports).  Gathering several windows at the same indices shares the
+    row masks, so the loop is run once."""
     row, col = idx // LANES, idx % LANES
-    acc = jnp.zeros(idx.shape, jnp.uint32)
+    accs = [jnp.zeros(idx.shape, jnp.uint32) for _ in wins]
     for w in range(IDW_ROWS):
-        rowvec = jnp.broadcast_to(win[w, :][None, :], idx.shape)
-        acc = jnp.where(row == w,
-                        jnp.take_along_axis(rowvec, col, axis=1), acc)
-    return acc
+        hit = row == w
+        for j, win in enumerate(wins):
+            rowvec = jnp.broadcast_to(win[w, :][None, :], idx.shape)
+            accs[j] = jnp.where(hit,
+                                jnp.take_along_axis(rowvec, col, axis=1),
+                                accs[j])
+    return accs
 
 
-def _make_kernel():
-    def kernel(blk_ref, c0_ref, spec_ref, total_ref,
+def _make_kernel(dim: int):
+    def kernel(blk_ref, c0_ref, spec_ref, total_ref, rule_ref,
                sv_lo, sv_hi, ab_lo, ab_hi, bid_lo, bid_hi, ids_hbm,
                a_ref, b_ref,
-               idwin, res_ref, sems):
+               idwin, kp_ref, res_ref, sems):
         g = pl.program_id(0)
         t0 = g * T
         rows_total = ids_hbm.shape[0]
@@ -197,21 +201,39 @@ def _make_kernel():
         fab = jnp.where(seen, fab, ab0)
         fbid = jnp.where(seen, fbid, bid0)
 
-        # ---- outputs: b-side done; a-side via windowed id gather
+        # ---- outputs: a-side via windowed (id, tz) gather + emit-once keep
+        # test; the b-side write moves after the resolve loop so it can be
+        # masked by the per-slot keep bits.
         t = t0 + lin32
         valid_slot = t < total_ref[0]
-        b_ref[:] = jnp.where(valid_slot, fbid, jnp.uint32(PAD_ID))
         idx_a = t + fab                      # = oj + 1 + (t - sv)
         a_ref[:] = jnp.full((T_ROWS, LANES), PAD_ID, jnp.uint32)
+        kp_ref[:] = jnp.ones((T_ROWS, LANES), jnp.int32)
         res_ref[:] = 1 - valid_slot.astype(jnp.int32)
+
+        # with rule==1 the id streams carry rule bytes in their low 8 bits
+        # (b/prep side: (id << 8) | (depth << dim) | e; a/window side:
+        # (id << 8) | (alpha << dim) | e); with rule==0 they are plain ids
+        # and every emission is kept
+        rule_i = rule_ref[0]                           # 0/1 int32 scalar
+        sh = jnp.uint32(8) * rule_i.astype(jnp.uint32)
+        bm = jax.lax.bitcast_convert_type(fbid, jnp.int32) & 0xFF
+        emask = (1 << dim) - 1
 
         def resolve_with(id_base):
             need = res_ref[:] == 0
             loc = idx_a - id_base
             inw = need & (loc >= 0) & (loc < IDW)
             loc = jnp.clip(loc, 0, IDW - 1)
-            ga = _gather_idwin(idwin[:], loc)
-            a_ref[:] = jnp.where(inw, ga, a_ref[:])
+            (ga,) = _gather_idwin([idwin[:]], loc)
+            # emit-once rule, folded form (layer._emit_once_keep): keep iff
+            # no axis has BOTH sides off their block min, AND the a cell's
+            # alignment depth alpha reaches up to the b entry's depth
+            am = jax.lax.bitcast_convert_type(ga, jnp.int32) & 0xFF
+            kacc = ((am & bm & emask) == 0) & ((am >> dim) <= (bm >> dim))
+            keep = kacc.astype(jnp.int32) | (1 - rule_i)
+            a_ref[:] = jnp.where(inw & (keep != 0), ga >> sh, a_ref[:])
+            kp_ref[:] = jnp.where(inw, keep, kp_ref[:])
             new_res = res_ref[:] | inw.astype(jnp.int32)
             res_ref[:] = new_res
             return jnp.sum(1 - new_res)
@@ -232,6 +254,9 @@ def _make_kernel():
             return resolve_with(base_row * LANES)
 
         jax.lax.while_loop(lambda n_: n_ > 0, resolve_window, rem0)
+
+        b_ref[:] = jnp.where(valid_slot & (kp_ref[:] != 0), fbid >> sh,
+                             jnp.uint32(PAD_ID))
 
     return kernel
 
@@ -267,24 +292,38 @@ def expand_pairs(ids: jnp.ndarray, starts: jnp.ndarray, run: jnp.ndarray,
         fills=(_HUGE, 0, PAD_ID), interpret=interpret)
     sv = sv_u.astype(jnp.int32)
     abv = ab_u.astype(jnp.int32)
-    return expand_pairs_prepped(ids, sv, abv, bid_c, total, pair_capacity,
+    return expand_pairs_prepped(ids, sv, abv, bid_c, total,
+                                pair_capacity, rule=None,
                                 interpret=interpret)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("pair_capacity", "interpret"))
+                   static_argnames=("pair_capacity", "dim", "interpret"))
 def expand_pairs_prepped(ids: jnp.ndarray, sv: jnp.ndarray,
                          abv: jnp.ndarray, bid_c: jnp.ndarray,
                          total: jnp.ndarray, pair_capacity: int,
+                         rule=None, dim: int = 3,
                          interpret: bool = False):
     """Expansion from PRE-COMPACTED nonempty-run entries.
 
     sv/abv: int32 (L,) start slots (strictly increasing over live entries,
     ``_HUGE`` fills beyond) and a-side bases (j + 1 - sv); bid_c: uint32
-    (L,) b-side ids; ids: the sorted element id array for the a-side.
+    (L,) b-side id stream; ids: the sorted element id stream for the
+    a-side window.
+
+    Emit-once dedup (``rule`` truthy): the streams carry packed rule
+    bytes — ``bid_c`` entries are ``(id << 8) | (depth << dim) | e``,
+    ``ids`` entries are ``(id << 8) | (alpha << dim) | e`` (alpha from
+    ``layer._alpha_meta``) — and the kernel keeps exactly ONE emission
+    per candidate pair (the canonical cell), writing PAD on both sides
+    of dropped duplicates.  With ``rule=None``/0, ids are plain and
+    every emission is kept.
     """
     P = pair_capacity
     cap = ids.shape[0]
+    if rule is None:
+        rule = jnp.int32(0)
+    rule = jnp.asarray(rule).astype(jnp.int32).reshape(1)
 
     # pad the entry arrays so window blocks [blk, blk+1] always exist
     n_ent = sv.shape[0]
@@ -314,12 +353,12 @@ def expand_pairs_prepped(ids: jnp.ndarray, sv: jnp.ndarray,
                          * SUBLANES, 0, id_rows - IDW_ROWS)
 
     def _win_map(delta):
-        def index_map(g, blk_ref, c0_ref, spec_ref, total_ref):
+        def index_map(g, blk_ref, c0_ref, spec_ref, total_ref, rule_ref):
             return (blk_ref[g] + delta, 0)
         return index_map
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(G,),
         in_specs=[
             pl.BlockSpec((T_ROWS, LANES), _win_map(0),
@@ -344,19 +383,20 @@ def expand_pairs_prepped(ids: jnp.ndarray, sv: jnp.ndarray,
         ],
         scratch_shapes=[
             pltpu.VMEM((IDW_ROWS, LANES), jnp.uint32),   # idwin
+            pltpu.VMEM((T_ROWS, LANES), jnp.int32),      # keep bits
             pltpu.VMEM((T_ROWS, LANES), jnp.int32),      # res
             pltpu.SemaphoreType.DMA((1,)),
         ],
     )
     a, b = pl.pallas_call(
-        _make_kernel(),
+        _make_kernel(dim),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Pp // LANES, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((Pp // LANES, LANES), jnp.uint32),
         ],
         interpret=interpret,
-    )(blks, c0s, spec_rows, jnp.asarray(total, jnp.int32).reshape(1),
+    )(blks, c0s, spec_rows, jnp.asarray(total, jnp.int32).reshape(1), rule,
       sv.reshape(-1, LANES), sv.reshape(-1, LANES),
       abv.reshape(-1, LANES), abv.reshape(-1, LANES),
       bid_c.reshape(-1, LANES), bid_c.reshape(-1, LANES),

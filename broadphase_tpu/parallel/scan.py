@@ -44,7 +44,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .. import geom
 from .. import index as bidx
 from ..index import IndexSpec
-from ..layer import PAD_ID, canonical_pairs, scan_pairs
+from ..layer import (PAD_ID, _NARROW_ID_BOUND, _slot_aux, canonical_pairs,
+                     scan_pairs)
 from ..ops.u64 import U64
 
 
@@ -137,6 +138,22 @@ def make_sharded_step(spec: IndexSpec, mesh: Mesh, axis_name: str,
             jnp.broadcast_to(jnp.asarray(ids, jnp.uint32)[:, None],
                              (n_local, S)).reshape(n_local * S),
             PAD_ID)
+        # emit-once aux bools ride the id column through BOTH routing
+        # sorts and the all_to_all as (id << dim) | aux — monotone in id,
+        # so tuple order and bucket grouping are unchanged.  The narrow
+        # gate must agree across devices: reduce the max id globally.
+        dim = spec.dim
+        m_aux = jnp.uint32((1 << dim) - 1)
+        flat_aux = jnp.where(
+            flat_valid,
+            jnp.broadcast_to(_slot_aux(spec, slots_per_axis)[None, :],
+                             (n_local, S)).reshape(n_local * S),
+            jnp.uint32(0))
+        local_max = jnp.max(jnp.where(flat_valid, flat_ids, 0))
+        narrow = jax.lax.pmax(local_max, axis_name) < _NARROW_ID_BOUND
+        packed = jnp.where(flat_ids == PAD_ID, PAD_ID,
+                           (flat_ids << dim) | (flat_aux & m_aux))
+        flat_ids = jnp.where(narrow, packed, flat_ids)
         pad = spec.pad_key((n_local, S))
         keys = bidx.key_where(spec, valid, keys, pad)
         if spec.bits == 32:
@@ -168,13 +185,17 @@ def make_sharded_step(spec: IndexSpec, mesh: Mesh, axis_name: str,
         cols = tuple(c.reshape(total) for c in key_rows) + (rids.reshape(total),)
         sorted_cols = jax.lax.sort(cols, num_keys=len(cols))
         skeys = bidx.key_from_columns(spec, sorted_cols[:-1])
-        sids = sorted_cols[-1]
+        sc = sorted_cols[-1]
+        sids = jnp.where(narrow,
+                         jnp.where(sc == PAD_ID, PAD_ID, sc >> dim), sc)
+        saux = jnp.where(narrow & (sc != PAD_ID), sc & m_aux,
+                         jnp.uint32(0))
         live = ~bidx.key_eq(spec, skeys, spec.pad_key((total,)))
         count = jnp.sum(live.astype(jnp.int32))
 
         local_ovf = jnp.any(cell_ovf & contained) | route_ovf
         res = scan_pairs(spec, skeys, sids, count, pair_capacity,
-                         filter_fn, extra_overflow=local_ovf)
+                         filter_fn, extra_overflow=local_ovf, aux=saux)
 
         # --- global dedup: route pairs to the a%n_dev owner so duplicates
         # collide on one device, then canonical sort+dedup locally ----------

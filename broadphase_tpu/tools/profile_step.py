@@ -41,11 +41,11 @@ def _scene(dim, n, seed=0, density=1.0 / 1000.0, size_range=(1.0, 10.0)):
             bmin, bmax, np.arange(n, dtype=np.uint32))
 
 
-def make_prefixes(spec, smin, smax, n, pair_cap):
+def make_prefixes(spec, smin, smax, n, pair_cap, emit_cap):
     """Each entry: name -> jitted fn(bmin, bmax, ids) running the pipeline
     up to and including that stage (returns small reductions so nothing is
     dead-code-eliminated)."""
-    cap = 4 * n
+    cap = ((max(1, (37 * n) // 10) // 1024) + 1) * 1024  # mirrors bench.py
 
     def _build(bmin, bmax, ids):
         return layer.build(spec, jnp.asarray(smin), jnp.asarray(smax),
@@ -66,44 +66,77 @@ def make_prefixes(spec, smin, smax, n, pair_cap):
         e = _run_ends(st)
         return e[::4096].sum()
 
+    def _meta(st, byte):
+        # packed rule-byte id streams of the emit-once production path
+        # (ids here are 0..n-1, always narrow)
+        lane = jnp.arange(st.ids.shape[0], dtype=jnp.int32)
+        return jnp.where(lane < st.count,
+                         (st.ids << jnp.uint32(8)) | byte,
+                         jnp.uint32(0xFFFF_FFFF))
+
+    def _metas(st):
+        dim = spec.dim
+        dep = bidx.depth_of(spec, st.keys)
+        bmeta = ((dep << jnp.uint32(dim))
+                 | (st.aux & jnp.uint32((1 << dim) - 1))) & jnp.uint32(0xFF)
+        ameta = layer._alpha_meta(spec, st.keys, dep, st.aux)
+        return _meta(st, bmeta), _meta(st, ameta)
+
     def _prep(st):
         from ..ops.pallas_prep import prep_runs
         e = _run_ends(st)
-        return prep_runs(e, st.ids, st.count, interpret=interp)
+        ids_b, _ = _metas(st)
+        return prep_runs(e, ids_b, st.count, interpret=interp)
 
     def p_prep(bmin, bmax, ids):
         st = _build(bmin, bmax, ids)
         sv, ab, bid, m, total, wrapped = _prep(st)
         return total, sv[::4096].sum(), bid[::4096].astype(jnp.uint32).sum()
 
-    def _gather(st):
+    def _gather(st, emit_cap):
         from ..ops.pallas_expand2 import expand_pairs_prepped
         sv, ab, bid, m, total, wrapped = _prep(st)
-        a, b = expand_pairs_prepped(st.ids, sv, ab, bid, total, pair_cap,
-                                    interpret=interp)
+        _, ids_a = _metas(st)
+        a, b = expand_pairs_prepped(ids_a, sv, ab, bid, total,
+                                    emit_cap, rule=jnp.int32(1),
+                                    dim=spec.dim, interpret=interp)
         return a, b, a != b
 
     def p_gather(bmin, bmax, ids):
         st = _build(bmin, bmax, ids)
-        a, b, valid = _gather(st)
+        a, b, valid = _gather(st, emit_cap)
         return a[::4096].sum(), b[::4096].sum()
+
+    def _compact(st):
+        from ..ops.pallas_compact import stream_compact
+        a, b, valid = _gather(st, emit_cap)
+        (ca, cb), ccnt = stream_compact(valid, (a, b), interpret=interp)
+        return ca[:pair_cap], cb[:pair_cap], ccnt
+
+    def p_compact(bmin, bmax, ids):
+        st = _build(bmin, bmax, ids)
+        ca, cb, ccnt = _compact(st)
+        return ccnt, ca[::4096].sum()
 
     def p_sort_pairs(bmin, bmax, ids):
         # the production adaptive sort (packed u32+u8 when ids fit 20 bits)
         st = _build(bmin, bmax, ids)
-        a, b, valid = _gather(st)
-        out_a, out_b, cnt = layer.canonical_pairs(a, b, valid, "sort")
+        ca, cb, ccnt = _compact(st)
+        out_a, out_b, cnt = layer.canonical_pairs(ca, cb, ca != np.uint32(0xFFFF_FFFF),
+                                                  "sort")
         return out_a[::4096].sum(), out_b[::4096].sum()
 
     def p_full_stream(bmin, bmax, ids):
         st = _build(bmin, bmax, ids)
-        a, b, valid = _gather(st)
-        out_a, out_b, cnt = layer.canonical_pairs(a, b, valid, "stream")
+        ca, cb, ccnt = _compact(st)
+        out_a, out_b, cnt = layer.canonical_pairs(ca, cb, ca != np.uint32(0xFFFF_FFFF),
+                                                  "stream")
         return cnt, out_a[::4096].sum()
 
     return [("build", p_build), ("run_ends", p_run_ends),
             ("prep", p_prep),
             ("gather", p_gather),
+            ("compact", p_compact),
             ("sort_pairs", p_sort_pairs),
             ("full_stream", p_full_stream)]
 
@@ -112,13 +145,14 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     spec = Index64_3D
     smin, smax, bmin, bmax, ids = _scene(spec.dim, n)
-    pair_cap = ((16 * n) // 1024) * 1024
+    emit_cap = ((16 * n) // 1024) * 1024
+    pair_cap = ((10 * n) // 1024) * 1024
     d_args = tuple(jax.device_put(x) for x in (bmin, bmax, ids))
 
-    print(f"profiling n={n} pair_cap={pair_cap} on "
+    print(f"profiling n={n} pair_cap={pair_cap} emit_cap={emit_cap} on "
           f"{jax.devices()[0].platform}", file=sys.stderr)
     results = []
-    for name, fn in make_prefixes(spec, smin, smax, n, pair_cap):
+    for name, fn in make_prefixes(spec, smin, smax, n, pair_cap, emit_cap):
         jfn = jax.jit(fn)
         t0 = time.perf_counter()
         jax.block_until_ready(jfn(*d_args))

@@ -176,13 +176,14 @@ def smoke_stream_compact():
     from ..ops.pallas_compact import stream_compact
 
     rng = np.random.default_rng(0)
-    for n in (4096, 100_000):           # 100_000 is NOT tile-aligned
+    for n, tr in ((4096, 0), (100_000, 0), (100_000, 128)):
+        # 100_000 is NOT tile-aligned; tr=128 is the auto big-input tile
         keep = rng.random(n) < 0.37
         c0 = rng.integers(0, 1 << 32, n, dtype=np.uint32)
         c1 = rng.integers(0, 1 << 32, n, dtype=np.uint32)
         (o0, o1), cnt = stream_compact(jnp.asarray(keep),
                                        (jnp.asarray(c0), jnp.asarray(c1)),
-                                       interpret=False)
+                                       tile_rows=tr, interpret=False)
         k = int(keep.sum())
         assert int(cnt) == k, (int(cnt), k)
         np.testing.assert_array_equal(np.asarray(o0)[:k], c0[keep])
@@ -254,6 +255,32 @@ def smoke_scan_vs_native():
                      sc.bounds_min, sc.bounds_max, sc.ids,
                      out_capacity=4 * n)
     st, res = layer.scan(spec, st, 16 * n)
+    assert not bool(res.overflow)
+    cnt = int(res.count)
+    got = np.stack([np.asarray(res.pairs_a, np.uint32)[:cnt],
+                    np.asarray(res.pairs_b, np.uint32)[:cnt]], axis=1)
+    keys_np, ids_np, _ = layer.tree_to_numpy(spec, st)
+    want = native.scan_seq(keys_np, ids_np, pair_slack=32)
+    assert got.shape == want.shape and np.array_equal(got, want), (
+        got.shape, want.shape)
+
+
+@_case("scan: emit-once split capacities (pair_cap < emissions)")
+def smoke_scan_emit_once_split():
+    # the production bench configuration: the pair buffer holds only
+    # UNIQUE pairs (10n) while emissions use 16n — exact iff the kernel's
+    # emit-once rule keeps every candidate pair exactly once COMPILED
+    from ..index import Index64_3D
+    from .. import layer
+    from ..utils import gen, native
+
+    spec = Index64_3D
+    n = 30_000
+    sc = gen.gen_boxes(count=n, density=1.0 / 1000.0, seed=0)
+    st = layer.build(spec, sc.system_min, sc.system_max,
+                     sc.bounds_min, sc.bounds_max, sc.ids,
+                     out_capacity=4 * n)
+    st, res = layer.scan(spec, st, 10 * n, emit_capacity=16 * n)
     assert not bool(res.overflow)
     cnt = int(res.count)
     got = np.stack([np.asarray(res.pairs_a, np.uint32)[:cnt],

@@ -34,3 +34,17 @@ assert _devs[0].platform == "cpu" and len(_devs) >= 8, (
     f"tests require >= 8 virtual CPU devices, got {_devs}; the axon "
     "sitecustomize likely pinned the TPU backend — run pytest with "
     "PYTHONPATH= to bypass it")
+
+
+# XLA:CPU's in-process compiler segfaults after the whole suite's worth of
+# compilations accumulate in one process (observed 3x, always at the same
+# later-in-suite compile; any subset of modules passes).  Dropping live
+# executables between modules keeps LLVM JIT state bounded; the persistent
+# disk cache makes any re-compile a cheap reload.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_llvm_jit_state():
+    yield
+    jax.clear_caches()

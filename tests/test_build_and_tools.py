@@ -72,7 +72,10 @@ def test_layer_builder_roundtrip():
 
 
 def test_cli_pipeline(tmp_path):
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # PYTHONPATH="" drops the axon_site sitecustomize hook, which dials the
+    # TPU tunnel at interpreter start in EVERY subprocess (hanging the CPU
+    # suite whenever the tunnel is down, regardless of JAX_PLATFORMS).
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
     scene_path = tmp_path / "s.br_scene"
     r = subprocess.run(
         [sys.executable, "-m", "broadphase_tpu.tools", "gen_boxes",
@@ -109,7 +112,7 @@ def test_cli_pipeline(tmp_path):
 
 
 def test_ball_pit_example_runs():
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
     root = os.path.dirname(os.path.dirname(__file__))
     r = subprocess.run(
         [sys.executable, os.path.join(root, "examples", "ball_pit.py"),

@@ -66,3 +66,22 @@ def test_canonical_pairs_stream_matches_shift():
     assert int(gc) == int(sc)
     np.testing.assert_array_equal(np.asarray(ga), np.asarray(sa))
     np.testing.assert_array_equal(np.asarray(gb), np.asarray(sb))
+
+
+@pytest.mark.parametrize("n", [16384, 100_000])
+def test_big_tile_rows(n):
+    """tile_rows=128 (the auto choice for multi-million inputs) must
+    match the default-tile semantics exactly, incl. unaligned length."""
+    rng = np.random.default_rng(42)
+    keep = rng.uniform(size=n) < 0.44
+    cols = (rng.integers(0, 2**32 - 2, n, dtype=np.uint32),
+            rng.integers(0, 2**32 - 2, n, dtype=np.uint32))
+    got_cols, cnt = stream_compact(jnp.asarray(keep),
+                                   tuple(jnp.asarray(c) for c in cols),
+                                   tile_rows=128, interpret=True)
+    cnt = int(cnt)
+    assert cnt == int(keep.sum())
+    for g, c in zip(got_cols, cols):
+        g = np.asarray(g)
+        np.testing.assert_array_equal(g[:cnt], c[keep])
+        np.testing.assert_array_equal(g[cnt:], np.full(len(g) - cnt, FILL))
