@@ -38,10 +38,10 @@ PAD_ID = 0xFFFF_FFFF
 
 
 def _prefix_sum_excl(x):
-    """Row-major exclusive prefix sum over a (T_ROWS, 128) int32 tile."""
+    """Row-major exclusive prefix sum over an (R, 128) int32 tile."""
     pref = x
     d = 1
-    while d < T:
+    while d < x.shape[0] * LANES:
         r, c = d // LANES, d % LANES
         y = pref
         if r:
@@ -57,12 +57,16 @@ def _prefix_sum_excl(x):
     return pref - x
 
 
-def _make_kernel(n_tiles: int, out_blocks: int):
+def _make_kernel(n_tiles: int, out_blocks: int, tile_rows: int):
+    TR = tile_rows
+    TL = TR * LANES
+    SR = 2 * TR
+
     def kernel(count_ref, e_ref, ids_ref,
                sv_out, ab_out, bid_out, cnt_ref,
                st_sv, st_ab, st_bid, pos_ref, sems):
         g = pl.program_id(0)
-        t0 = g * T
+        t0 = g * TL
 
         @pl.when(g == 0)
         def _init():
@@ -70,15 +74,15 @@ def _make_kernel(n_tiles: int, out_blocks: int):
             pos_ref[1] = 0          # blocks flushed
             pos_ref[2] = 0          # running total (starts carry)
             pos_ref[3] = 0          # wrapped flag
-            st_sv[:] = jnp.full((STAGE_ROWS, LANES), _HUGE, jnp.uint32)
-            st_ab[:] = jnp.zeros((STAGE_ROWS, LANES), jnp.uint32)
-            st_bid[:] = jnp.full((STAGE_ROWS, LANES), PAD_ID, jnp.uint32)
+            st_sv[:] = jnp.full((SR, LANES), _HUGE, jnp.uint32)
+            st_ab[:] = jnp.zeros((SR, LANES), jnp.uint32)
+            st_bid[:] = jnp.full((SR, LANES), PAD_ID, jnp.uint32)
 
         count = count_ref[0]
         pos = (t0
-               + jax.lax.broadcasted_iota(jnp.int32, (T_ROWS, LANES), 0)
+               + jax.lax.broadcasted_iota(jnp.int32, (TR, LANES), 0)
                * LANES
-               + jax.lax.broadcasted_iota(jnp.int32, (T_ROWS, LANES), 1))
+               + jax.lax.broadcasted_iota(jnp.int32, (TR, LANES), 1))
         e = jnp.minimum(e_ref[:], count)
         run = jnp.where(pos < count, jnp.maximum(e - (pos + 1), 0), 0)
 
@@ -99,14 +103,14 @@ def _make_kernel(n_tiles: int, out_blocks: int):
 
         staged = pos_ref[0]
         sidx = (jax.lax.broadcasted_iota(jnp.int32,
-                                         (STAGE_ROWS, LANES), 0) * LANES
+                                         (SR, LANES), 0) * LANES
                 + jax.lax.broadcasted_iota(jnp.int32,
-                                           (STAGE_ROWS, LANES), 1))
+                                           (SR, LANES), 1))
         put = (sidx >= staged) & (sidx < staged + k)
         fills = (_HUGE, 0, PAD_ID)
         for st, c, f in zip((st_sv, st_ab, st_bid), compacted, fills):
             pad_full = jnp.concatenate(
-                [c, jnp.full((STAGE_ROWS - T_ROWS, LANES), f,
+                [c, jnp.full((SR - TR, LANES), f,
                              jnp.uint32)], axis=0)
             rolled = _elem_roll(pad_full, staged)
             st[:] = jnp.where(put, rolled, st[:])
@@ -119,8 +123,8 @@ def _make_kernel(n_tiles: int, out_blocks: int):
             @pl.when(blk < out_blocks)
             def _write():
                 copies = [pltpu.make_async_copy(
-                    st.at[pl.ds(0, T_ROWS), :],
-                    o.at[pl.ds(blk * T_ROWS, T_ROWS), :],
+                    st.at[pl.ds(0, TR), :],
+                    o.at[pl.ds(blk * TR, TR), :],
                     sems.at[i]) for i, (st, o) in enumerate(
                         zip((st_sv, st_ab, st_bid),
                             (sv_out, ab_out, bid_out)))]
@@ -129,16 +133,16 @@ def _make_kernel(n_tiles: int, out_blocks: int):
                 for c in copies:
                     c.wait()
             rowi = jax.lax.broadcasted_iota(jnp.int32,
-                                            (STAGE_ROWS, LANES), 0)
+                                            (SR, LANES), 0)
             for st, f in zip((st_sv, st_ab, st_bid), fills):
-                shifted = pltpu.roll(st[:], STAGE_ROWS - T_ROWS, axis=0)
-                st[:] = jnp.where(rowi < STAGE_ROWS - T_ROWS, shifted,
-                                  jnp.full((STAGE_ROWS, LANES), f,
+                shifted = pltpu.roll(st[:], SR - TR, axis=0)
+                st[:] = jnp.where(rowi < SR - TR, shifted,
+                                  jnp.full((SR, LANES), f,
                                            jnp.uint32))
             pos_ref[1] = blk + 1
-            pos_ref[0] = pos_ref[0] - T
+            pos_ref[0] = pos_ref[0] - TL
 
-        @pl.when(pos_ref[0] >= T)
+        @pl.when(pos_ref[0] >= TL)
         def _():
             flush()
 
@@ -149,8 +153,8 @@ def _make_kernel(n_tiles: int, out_blocks: int):
             @pl.when(blk < out_blocks)
             def _write():
                 copies = [pltpu.make_async_copy(
-                    st.at[pl.ds(0, T_ROWS), :],
-                    o.at[pl.ds(blk * T_ROWS, T_ROWS), :],
+                    st.at[pl.ds(0, TR), :],
+                    o.at[pl.ds(blk * TR, TR), :],
                     sems.at[i]) for i, (st, o) in enumerate(
                         zip((st_sv, st_ab, st_bid),
                             (sv_out, ab_out, bid_out)))]
@@ -158,16 +162,16 @@ def _make_kernel(n_tiles: int, out_blocks: int):
                     c.start()
                 for c in copies:
                     c.wait()
-            cnt_ref[0] = blk * T + pos_ref[0]      # m = nonempty runs
+            cnt_ref[0] = blk * TL + pos_ref[0]     # m = nonempty runs
             cnt_ref[1] = pos_ref[2]                # total pair slots
             cnt_ref[2] = pos_ref[3]                # wrapped flag
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
 def prep_runs(e: jnp.ndarray, ids: jnp.ndarray, count,
-              interpret: bool = False
+              tile_rows: int = 0, interpret: bool = False
               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                          jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(sv, ab, bid, m, total, wrapped) from run ends ``e`` and ``ids``.
@@ -178,29 +182,35 @@ def prep_runs(e: jnp.ndarray, ids: jnp.ndarray, count,
     to hold every entry (cap rounded up one spare block).
     """
     cap = e.shape[0]
-    padded = -(-max(cap, 1) // T) * T
+    if tile_rows == 0:
+        # sequential grid: scale the tile with the input so per-step fixed
+        # costs don't dominate (same regime as stream_compact)
+        tile_rows = 128 if cap >= (1 << 21) else T_ROWS
+    TL = tile_rows * LANES
+    padded = -(-max(cap, 1) // TL) * TL
     if padded != cap:
         e = jnp.pad(e, (0, padded - cap))
         ids = jnp.pad(ids, (0, padded - cap),
                       constant_values=jnp.uint32(PAD_ID))
-    n_tiles = padded // T
+    n_tiles = padded // TL
     out_blocks = n_tiles                      # every entry could be nonempty
-    out_len = (out_blocks + 1) * T
+    out_len = (out_blocks + 1) * TL
 
     outs = pl.pallas_call(
-        _make_kernel(n_tiles, out_blocks),
+        _make_kernel(n_tiles, out_blocks, tile_rows),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((T_ROWS, LANES), lambda g, c: (g, 0),
+                pl.BlockSpec((tile_rows, LANES), lambda g, c: (g, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((T_ROWS, LANES), lambda g, c: (g, 0),
+                pl.BlockSpec((tile_rows, LANES), lambda g, c: (g, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=([pl.BlockSpec(memory_space=pl.ANY)] * 3
                        + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
-            scratch_shapes=[pltpu.VMEM((STAGE_ROWS, LANES), jnp.uint32)] * 3
+            scratch_shapes=[pltpu.VMEM((2 * tile_rows, LANES),
+                                       jnp.uint32)] * 3
             + [pltpu.SMEM((4,), jnp.int32),
                pltpu.SemaphoreType.DMA((3,))],
         ),

@@ -62,11 +62,14 @@ def _suffix_min(x: jnp.ndarray, fill) -> jnp.ndarray:
     return m
 
 
-def _make_kernel(n_depths: int, n_tiles: int):
+def _make_kernel(n_depths: int, n_tiles: int, tile_rows: int):
+    TR = tile_rows
+    TL = TR * LANES
+
     def kernel(mask_ref, lca_ref, d_ref, e_ref, carry_ref):
         g = pl.program_id(0)
         tile = n_tiles - 1 - g
-        t0 = tile * TILE
+        t0 = tile * TL
 
         @pl.when(g == 0)
         def _init():
@@ -76,10 +79,10 @@ def _make_kernel(n_depths: int, n_tiles: int):
         lca = lca_ref[:]
         d = d_ref[:]
         pos = (t0
-               + jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
+               + jax.lax.broadcasted_iota(jnp.int32, (TR, LANES), 0)
                * LANES
-               + jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1))
-        e_ref[:] = jnp.zeros((TILE_ROWS, LANES), jnp.int32)
+               + jax.lax.broadcasted_iota(jnp.int32, (TR, LANES), 1))
+        e_ref[:] = jnp.zeros((TR, LANES), jnp.int32)
         mask = mask_ref[0]
         for dd in range(n_depths):
             # skip depth levels no element has (runtime flag: scenes
@@ -95,18 +98,25 @@ def _make_kernel(n_depths: int, n_tiles: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_depths", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_depths", "tile_rows", "interpret"))
 def run_ends(lca: jnp.ndarray, depth: jnp.ndarray, n_depths: int,
-             interpret: bool = False) -> jnp.ndarray:
+             tile_rows: int = 0, interpret: bool = False) -> jnp.ndarray:
     """e[j] = 1 + first position i >= j with lca[i] < depth[j]; elements
     whose depth is outside [0, n_depths) (pads) get e = 0.
 
     lca/depth: int32 (cap,).  lca[cap-1] must be the -1 sentinel.  cap is
-    padded internally to a multiple of 1024 (pad lca qualifies at every
+    padded internally to a tile multiple (pad lca qualifies at every
     depth but sits after the sentinel, so results are unchanged).
     """
     cap = lca.shape[0]
-    padded = -(-cap // TILE) * TILE
+    if tile_rows == 0:
+        # sequential grid: per-step fixed costs dominate big inputs (same
+        # regime as stream_compact); the suffix chains only grow by two
+        # stages at 4x the tile
+        tile_rows = 128 if cap >= (1 << 21) else TILE_ROWS
+    TL = tile_rows * LANES
+    padded = -(-cap // TL) * TL
     # depth-presence bitmask (one cheap pass + OR-reduce): the kernel
     # skips the whole suffix-min chain of levels with no elements
     mask = jnp.bitwise_or.reduce(
@@ -117,22 +127,22 @@ def run_ends(lca: jnp.ndarray, depth: jnp.ndarray, n_depths: int,
         lca = jnp.pad(lca, (0, padded - cap), constant_values=-1)
         depth = jnp.pad(depth, (0, padded - cap),
                         constant_values=n_depths)
-    n_tiles = padded // TILE
+    n_tiles = padded // TL
 
     e = pl.pallas_call(
-        _make_kernel(n_depths, n_tiles),
+        _make_kernel(n_depths, n_tiles, tile_rows),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((TILE_ROWS, LANES),
+                pl.BlockSpec((tile_rows, LANES),
                              lambda g, m: (n_tiles - 1 - g, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE_ROWS, LANES),
+                pl.BlockSpec((tile_rows, LANES),
                              lambda g, m: (n_tiles - 1 - g, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((TILE_ROWS, LANES),
+            out_specs=pl.BlockSpec((tile_rows, LANES),
                                    lambda g, m: (n_tiles - 1 - g, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.SMEM((max(n_depths, 1),), jnp.int32)],

@@ -218,6 +218,35 @@ def smoke_run_ends():
         del os.environ["BROADPHASE_NO_PALLAS"]
     np.testing.assert_array_equal(np.asarray(e_pallas), np.asarray(e_xla))
 
+    # big-input auto tile (128 rows): same result from the compiled kernel
+    from ..ops.pallas_runends import run_ends
+    lca = search.adjacent_lca_depth(spec, st.keys)
+    e_big = run_ends(lca, depth.astype(jnp.int32), spec.axis_bits + 1,
+                     tile_rows=128, interpret=False)
+    np.testing.assert_array_equal(np.asarray(e_big), np.asarray(e_xla))
+
+
+@_case("prep_runs: 128-row tile vs default, compiled")
+def smoke_prep_big_tiles():
+    from ..ops.pallas_prep import prep_runs
+
+    rng = np.random.default_rng(17)
+    cap = 50_000                        # several 16384 tiles + partial tail
+    count = 47_311
+    ids = rng.integers(0, 1 << 32, cap, dtype=np.uint32)
+    e = (np.arange(cap) + rng.integers(0, 60, cap)).astype(np.int32)
+    e[12_000:15_000] = 40_000           # long runs crossing tile bounds
+    outs = [prep_runs(jnp.asarray(e), jnp.asarray(ids), jnp.int32(count),
+                      tile_rows=tr, interpret=False) for tr in (32, 128)]
+    (sv0, ab0, bid0, m0, t0, w0), (sv1, ab1, bid1, m1, t1, w1) = outs
+    assert int(m0) == int(m1) and int(t0) == int(t1)
+    assert not (bool(w0) or bool(w1))
+    m = int(m0)
+    np.testing.assert_array_equal(np.asarray(sv0)[:m], np.asarray(sv1)[:m])
+    np.testing.assert_array_equal(np.asarray(ab0)[:m], np.asarray(ab1)[:m])
+    np.testing.assert_array_equal(np.asarray(bid0)[:m],
+                                  np.asarray(bid1)[:m])
+
 
 @_case("scan: degenerate all-one-cell scene")
 def smoke_degenerate_one_cell():

@@ -11,14 +11,17 @@ import pytest
 from broadphase_tpu.ops.pallas_prep import _HUGE, prep_runs
 
 
-@pytest.mark.parametrize("cap,count_frac,style", [
-    (4096, 1.0, "random"),
-    (10000, 0.7, "random"),          # unaligned cap + dead tail
-    (8192, 1.0, "dense"),            # every run nonempty
-    (1 << 15, 0.9, "sparse"),        # few long runs
-    (4096, 0.0, "empty"),
+@pytest.mark.parametrize("cap,count_frac,style,tile_rows", [
+    (4096, 1.0, "random", 0),
+    (10000, 0.7, "random", 0),       # unaligned cap + dead tail
+    (8192, 1.0, "dense", 0),         # every run nonempty
+    (1 << 15, 0.9, "sparse", 0),     # few long runs
+    (4096, 0.0, "empty", 0),
+    (10000, 0.7, "random", 128),     # big-input auto tile, partial tail
+    (1 << 15, 0.9, "sparse", 128),
+    (8192, 1.0, "dense", 128),       # single partial tile, dense flushes
 ])
-def test_prep_runs_matches_numpy(cap, count_frac, style):
+def test_prep_runs_matches_numpy(cap, count_frac, style, tile_rows):
     rng = np.random.default_rng(cap + int(count_frac * 10))
     ids = rng.integers(0, 1 << 32, cap, dtype=np.uint32)
     count = int(cap * count_frac)
@@ -39,7 +42,8 @@ def test_prep_runs_matches_numpy(cap, count_frac, style):
     nz = np.nonzero(run)[0]
 
     sv, ab, bid, m, total, wrapped = prep_runs(
-        jnp.asarray(e), jnp.asarray(ids), jnp.int32(count), interpret=True)
+        jnp.asarray(e), jnp.asarray(ids), jnp.int32(count),
+        tile_rows=tile_rows, interpret=True)
     m = int(m)
     assert m == len(nz)
     assert int(total) == int(run.sum())

@@ -89,6 +89,36 @@ def test_run_ends_pallas_kernel_parity(spec, monkeypatch):
     monkeypatch.setenv("BROADPHASE_FORCE_PALLAS", "1")
     from broadphase_tpu.ops.pallas_runends import run_ends
     lca = search.adjacent_lca_depth(spec, state.keys)
-    e_pl = run_ends(lca, d.astype(jnp.int32), spec.axis_bits + 1,
-                    interpret=True)
-    np.testing.assert_array_equal(np.asarray(e_pl), np.asarray(e_xla))
+    for tile_rows in (0, 128):       # default and the big-input auto tile
+        e_pl = run_ends(lca, d.astype(jnp.int32), spec.axis_bits + 1,
+                        tile_rows=tile_rows, interpret=True)
+        np.testing.assert_array_equal(np.asarray(e_pl), np.asarray(e_xla))
+
+
+def test_run_ends_kernel_big_tiles_synthetic():
+    """tile_rows=128 vs the 32-row tile and a numpy oracle over synthetic
+    (lca, depth) streams spanning several 16384-element tiles, with carries
+    crossing every tile boundary (long runs) and a partial final tile."""
+    from broadphase_tpu.ops.pallas_runends import run_ends
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(42)
+    n = 40_000                        # 2.44 tiles at 16384
+    n_depths = 6
+    d = rng.integers(0, n_depths, n).astype(np.int32)
+    lca = np.minimum(d[:-1], np.roll(d, -1)[:-1]) - \
+        rng.integers(0, 2, n - 1).astype(np.int32)
+    lca = np.concatenate([lca, [-1]]).astype(np.int32)
+    # long runs: clamp lca high over a few wide stretches
+    for s in (5_000, 16_000, 30_000):
+        lca[s:s + 3_000] = n_depths - 1
+    want = np.zeros(n, np.int32)
+    # numpy oracle: next position with lca < depth, per depth level
+    for dd in range(n_depths):
+        qual = np.where(lca < dd, np.arange(n), np.iinfo(np.int32).max)
+        nse = np.minimum.accumulate(qual[::-1])[::-1]
+        want = np.where(d == dd, nse + 1, want)
+    for tile_rows in (32, 128):
+        got = run_ends(jnp.asarray(lca), jnp.asarray(d), n_depths,
+                       tile_rows=tile_rows, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), want)
