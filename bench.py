@@ -83,7 +83,7 @@ def _pipelined_p50(step, args, iters=30, warmup=3, batch=10):
     return float(np.percentile(batches, 50)), float(np.percentile(lat, 50))
 
 
-def bench_full_step(n, iters=30, warmup=3, pair_slack=10, emit_slack=16):
+def bench_full_step(n, iters=30, warmup=3, pair_slack=9, emit_slack=16):
     import jax
     import jax.numpy as jnp
 
@@ -93,8 +93,10 @@ def bench_full_step(n, iters=30, warmup=3, pair_slack=10, emit_slack=16):
     smin, smax, bmin, bmax, ids = _scene(spec.dim, n)
     # emit_cap bounds raw emissions (~15.7 slots/object at 1M density
     # 1/1000); the emit-once rule kills the 46% duplicates at the source,
-    # so pair_cap only holds UNIQUE pairs (~8.53/object at 1M) and the
-    # canonical sort runs over 10n instead of 16n lanes
+    # so pair_cap only holds UNIQUE pairs (measured 8.53/object at 1M,
+    # deterministic scene; 9n = 5.5% headroom, overflow is flagged and
+    # BROADPHASE_VERIFY would fail) and the canonical sort runs over 9n
+    # instead of 16n lanes
     pair_cap = ((pair_slack * n) // 1024) * 1024  # tile-aligned for pallas
     emit_cap = ((emit_slack * n) // 1024) * 1024
 
