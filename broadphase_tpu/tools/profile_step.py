@@ -145,8 +145,8 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     spec = Index64_3D
     smin, smax, bmin, bmax, ids = _scene(spec.dim, n)
-    emit_cap = ((16 * n) // 1024) * 1024
-    pair_cap = ((10 * n) // 1024) * 1024
+    emit_cap = ((16 * n) // 1024) * 1024     # mirrors bench.py emit_slack
+    pair_cap = ((9 * n) // 1024) * 1024      # mirrors bench.py pair_slack
     d_args = tuple(jax.device_put(x) for x in (bmin, bmax, ids))
 
     print(f"profiling n={n} pair_cap={pair_cap} emit_cap={emit_cap} on "
