@@ -104,6 +104,7 @@ def main(argv=None):
     bmax = np.minimum(bmin + size, 99.9).astype(np.float32)
     ids = np.arange(n, dtype=np.uint32)
 
+    os.makedirs(args.out_dir, exist_ok=True)
     keys, tids, _ = oracle.extend(SPEC, smin, smax, bmin, bmax, ids)
     keys, tids = oracle.sort_tree(keys, tids)
     for step in args.steps:
