@@ -809,9 +809,12 @@ def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
         sv, ab, bid, _m, total, wrapped = prep_runs(e, ids_b, count,
                                                     interpret=interpret)
         pair_overflow = wrapped | (total > emit_cap)
+        # id-window rows knob for on-chip sweeps (gather loop scales with
+        # window rows; smaller windows risk extra resolve iterations)
+        idw = int(os.environ.get("BROADPHASE_IDW_ROWS", "32"))
         a, b = expand_pairs_prepped(ids_a, sv, ab, bid, total,
                                     emit_cap, rule=narrow, dim=dim,
-                                    interpret=interpret)
+                                    idw_rows=idw, interpret=interpret)
         # slots >= total and rule-dropped duplicates carry PAD on BOTH
         # sides, so the a != b dedup mask below excludes them for free
         valid = a != b

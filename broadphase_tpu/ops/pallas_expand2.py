@@ -87,14 +87,14 @@ def _dyn_roll(x, s):
     return jnp.where(lane >= b, y1, y2)
 
 
-def _gather_idwin(wins, idx):
-    """accs[j][r, l] = wins[j][idx[r, l]] over (IDW_ROWS, 128) windows: the
+def _gather_idwin(wins, idx, idw_rows=IDW_ROWS):
+    """accs[j][r, l] = wins[j][idx[r, l]] over (idw_rows, 128) windows: the
     row-loop + take_along_axis lane gather (the only per-lane gather Mosaic
     supports).  Gathering several windows at the same indices shares the
     row masks, so the loop is run once."""
     row, col = idx // LANES, idx % LANES
     accs = [jnp.zeros(idx.shape, jnp.uint32) for _ in wins]
-    for w in range(IDW_ROWS):
+    for w in range(idw_rows):
         hit = row == w
         for j, win in enumerate(wins):
             rowvec = jnp.broadcast_to(win[w, :][None, :], idx.shape)
@@ -104,7 +104,10 @@ def _gather_idwin(wins, idx):
     return accs
 
 
-def _make_kernel(dim: int):
+def _make_kernel(dim: int, idw_rows: int = IDW_ROWS):
+    IDWR = idw_rows
+    IDWN = idw_rows * LANES
+
     def kernel(blk_ref, c0_ref, spec_ref, total_ref, rule_ref,
                sv_lo, sv_hi, ab_lo, ab_hi, bid_lo, bid_hi, ids_hbm,
                a_ref, b_ref,
@@ -115,7 +118,7 @@ def _make_kernel(dim: int):
 
         def start_id_copy(base_row):
             return pltpu.make_async_copy(
-                ids_hbm.at[pl.ds(base_row, IDW_ROWS), :],
+                ids_hbm.at[pl.ds(base_row, IDWR), :],
                 idwin.at[:, :],
                 sems.at[0])
 
@@ -223,9 +226,9 @@ def _make_kernel(dim: int):
         def resolve_with(id_base):
             need = res_ref[:] == 0
             loc = idx_a - id_base
-            inw = need & (loc >= 0) & (loc < IDW)
-            loc = jnp.clip(loc, 0, IDW - 1)
-            (ga,) = _gather_idwin([idwin[:]], loc)
+            inw = need & (loc >= 0) & (loc < IDWN)
+            loc = jnp.clip(loc, 0, IDWN - 1)
+            (ga,) = _gather_idwin([idwin[:]], loc, IDWR)
             # emit-once rule, folded form (layer._emit_once_keep): keep iff
             # no axis has BOTH sides off their block min, AND the a cell's
             # alignment depth alpha reaches up to the b entry's depth
@@ -246,7 +249,7 @@ def _make_kernel(dim: int):
             cand = jnp.where(need, idx_a, _HUGE)
             m = jnp.min(cand)
             base_row = jnp.clip((m // (SUBLANES * LANES)) * SUBLANES,
-                                0, rows_total - IDW_ROWS)
+                                0, rows_total - IDWR)
             base_row = pl.multiple_of(base_row, SUBLANES)
             c = start_id_copy(base_row)
             c.start()
@@ -298,11 +301,12 @@ def expand_pairs(ids: jnp.ndarray, starts: jnp.ndarray, run: jnp.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("pair_capacity", "dim", "interpret"))
+                   static_argnames=("pair_capacity", "dim", "idw_rows",
+                                    "interpret"))
 def expand_pairs_prepped(ids: jnp.ndarray, sv: jnp.ndarray,
                          abv: jnp.ndarray, bid_c: jnp.ndarray,
                          total: jnp.ndarray, pair_capacity: int,
-                         rule=None, dim: int = 3,
+                         rule=None, dim: int = 3, idw_rows: int = IDW_ROWS,
                          interpret: bool = False):
     """Expansion from PRE-COMPACTED nonempty-run entries.
 
@@ -346,11 +350,11 @@ def expand_pairs_prepped(ids: jnp.ndarray, sv: jnp.ndarray,
 
     # speculative a-side window base: first slot's element index, in
     # SUBLANES-aligned rows
-    id_rows = max(-(-cap // (SUBLANES * LANES)) * SUBLANES, IDW_ROWS)
+    id_rows = max(-(-cap // (SUBLANES * LANES)) * SUBLANES, idw_rows)
     ids_p = jnp.pad(ids, (0, id_rows * LANES - cap))
     ab_at_c0 = abv[c0s]
     spec_rows = jnp.clip(((t0s + ab_at_c0) // (SUBLANES * LANES))
-                         * SUBLANES, 0, id_rows - IDW_ROWS)
+                         * SUBLANES, 0, id_rows - idw_rows)
 
     def _win_map(delta):
         def index_map(g, blk_ref, c0_ref, spec_ref, total_ref, rule_ref):
@@ -382,14 +386,14 @@ def expand_pairs_prepped(ids: jnp.ndarray, sv: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((IDW_ROWS, LANES), jnp.uint32),   # idwin
+            pltpu.VMEM((idw_rows, LANES), jnp.uint32),   # idwin
             pltpu.VMEM((T_ROWS, LANES), jnp.int32),      # keep bits
             pltpu.VMEM((T_ROWS, LANES), jnp.int32),      # res
             pltpu.SemaphoreType.DMA((1,)),
         ],
     )
     a, b = pl.pallas_call(
-        _make_kernel(dim),
+        _make_kernel(dim, idw_rows),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Pp // LANES, LANES), jnp.uint32),

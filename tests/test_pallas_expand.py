@@ -126,6 +126,39 @@ def test_mixed_run_lengths_random(expand_pairs):
     _check(expand_pairs, ids, run, ((int(run.sum()) // TILE) + 2) * TILE)
 
 
+@pytest.mark.parametrize("idw_rows", [8, 16])
+def test_narrow_id_window(idw_rows):
+    """v3 with a narrow a-side id window must still resolve every slot
+    (multi-window guaranteed-progress loop) — including runs far longer
+    than the window and runs whose ids sit behind the speculative base."""
+    rng = np.random.default_rng(7)
+    cap = 1 << 14
+    ids = rng.integers(0, 1 << 31, cap, dtype=np.uint32)
+    run = np.zeros(cap, np.int32)
+    run[5] = 9000                         # one run >> window (1024/2048)
+    chosen = rng.choice(np.arange(6, cap - 64), 300, replace=False)
+    run[chosen] = rng.integers(1, 40, 300)
+    for j in np.nonzero(run)[0]:
+        run[j] = min(run[j], cap - 1 - j)
+    starts = np.cumsum(run) - run
+    total = int(run.sum())
+    P = ((total // TILE) + 2) * TILE
+    from broadphase_tpu.ops.pallas_compact import stream_compact
+    j32 = np.arange(cap, dtype=np.int32)
+    (sv, ab, bid), _ = stream_compact(
+        jnp.asarray(run > 0),
+        (jnp.asarray(starts, np.int32), jnp.asarray(j32 + 1 - starts),
+         jnp.asarray(ids)),
+        fills=(0x7FFF_FFFF, 0, PAD), interpret=True)
+    a, b = pallas_expand2.expand_pairs_prepped(
+        jnp.asarray(ids, jnp.uint32), sv.astype(jnp.int32),
+        ab.astype(jnp.int32), bid, jnp.int32(total), P,
+        idw_rows=idw_rows, interpret=True)
+    a_want, b_want, _ = _reference(ids, run, P)
+    np.testing.assert_array_equal(np.asarray(a), a_want)
+    np.testing.assert_array_equal(np.asarray(b), b_want)
+
+
 @pytest.mark.parametrize("expand_pairs", KERNELS)
 def test_total_mid_tile_and_dead_tail(expand_pairs):
     cap = 4096
