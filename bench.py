@@ -83,28 +83,23 @@ def _pipelined_p50(step, args, iters=30, warmup=3, batch=10):
     return float(np.percentile(batches, 50)), float(np.percentile(lat, 50))
 
 
-def bench_full_step(n, iters=30, warmup=3, pair_slack=9, emit_slack=16):
+def bench_full_step(n, iters=30, warmup=3, pair_slack=None, emit_slack=None):
     import jax
     import jax.numpy as jnp
 
     from broadphase_tpu import Index64_3D, layer
+    from broadphase_tpu import bench_caps
 
     spec = Index64_3D
     smin, smax, bmin, bmax, ids = _scene(spec.dim, n)
-    # emit_cap bounds raw emissions (~15.7 slots/object at 1M density
-    # 1/1000); the emit-once rule kills the 46% duplicates at the source,
-    # so pair_cap only holds UNIQUE pairs (measured 8.53/object at 1M,
-    # deterministic scene; 9n = 5.5% headroom, overflow is flagged and
-    # BROADPHASE_VERIFY would fail) and the canonical sort runs over 9n
-    # instead of 16n lanes
-    pair_cap = ((pair_slack * n) // 1024) * 1024  # tile-aligned for pallas
-    emit_cap = ((emit_slack * n) // 1024) * 1024
-
-    # density 1/1000 with sizes 1-10 emits ~3.28 cells/object (measured);
-    # the tree capacity sets the lane count of the build sort AND the
-    # run-ends/prep passes, so right-size it with ~12% headroom instead of
-    # the worst-case 4n (any overflow is flagged and VERIFY would fail)
-    tree_cap = ((max(1, (37 * n) // 10) // 1024) + 1) * 1024
+    # capacity rationale lives in broadphase_tpu/bench_caps.py (shared
+    # with tools/profile_step.py so stage profiles run the bench shapes);
+    # overflow is carried into the JSON record and fails VERIFY
+    pair_cap = bench_caps.pair_capacity(
+        n, pair_slack or bench_caps.PAIR_SLACK)
+    emit_cap = bench_caps.emit_capacity(
+        n, emit_slack or bench_caps.EMIT_SLACK)
+    tree_cap = bench_caps.tree_capacity(n)
 
     @jax.jit
     def step(bounds_min, bounds_max, obj_ids):
@@ -132,7 +127,7 @@ def bench_full_step(n, iters=30, warmup=3, pair_slack=9, emit_slack=16):
     print(f"  (n={n}: blocking-latency p50 {lat:.2f} ms incl ~30 ms "
           f"host sync)", file=sys.stderr)
     pairs = int(out[2])
-    return p50, pairs, lat
+    return p50, pairs, lat, bool(out[3])
 
 
 def _verify_against_native(spec, smin, smax, bmin, bmax, ids, n, out):
@@ -357,12 +352,14 @@ def child_main():
     print(f"merge_static+scan_filtered 100k: p50={m_p50:.3f} ms "
           f"pairs={m_pairs} overflow={m_ovf}", file=sys.stderr)
 
-    p50_small, pairs_small, lat_small = bench_full_step(n_small)
+    p50_small, pairs_small, lat_small, ovf_small = \
+        bench_full_step(n_small)
     print(f"full_step n={n_small}: p50={p50_small:.3f} ms "
           f"(blocking {lat_small:.3f} ms), pairs={pairs_small}, "
           f"pairs/sec={pairs_small / (p50_small * 1e-3):.3e}", file=sys.stderr)
 
-    p50_big, pairs_big, lat_big = bench_full_step(n_big, iters=30)
+    p50_big, pairs_big, lat_big, ovf_big = \
+        bench_full_step(n_big, iters=30)
     print(f"full_step n={n_big}: p50={p50_big:.3f} ms "
           f"(blocking {lat_big:.3f} ms), pairs={pairs_big}, "
           f"pairs/sec={pairs_big / (p50_big * 1e-3):.3e}", file=sys.stderr)
@@ -384,6 +381,10 @@ def child_main():
         "unit": "ms",
         "vs_baseline": round(vs_baseline, 2),
         "blocking_p50_ms": round(lat_big, 4),
+        # any buffer overflow truncates the pair list: the record is
+        # visibly invalid instead of silently publishing a fast-but-wrong
+        # number (stderr already warns; this puts it in the record itself)
+        "overflow": bool(ovf_small or ovf_big),
     }))
 
 

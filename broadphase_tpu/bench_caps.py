@@ -1,0 +1,28 @@
+"""Shared capacity-sizing constants for the 1M bench and its profiler.
+
+One importable home so ``bench.py`` and ``tools/profile_step.py`` cannot
+drift apart: the profiler's stage deltas only sum to the bench step time
+when both run the exact same shapes.
+"""
+
+# Raw emission slots per object (~15.7 measured at the 1M density-1/1000
+# scene; 46% are duplicate emissions of multi-cell pairs).
+EMIT_SLACK = 16
+
+# Unique pairs per object (8.53 measured, deterministic scene).  The
+# emit-once rule guarantees the pair buffer only ever holds unique pairs,
+# so 9 leaves 5.5% headroom; overflow is flagged in the bench JSON record
+# and fails BROADPHASE_VERIFY.
+PAIR_SLACK = 9
+
+# Tree cells per object (3.28 measured) + ~12% headroom.
+def tree_capacity(n: int) -> int:
+    return ((max(1, (37 * n) // 10) // 1024) + 1) * 1024
+
+
+def pair_capacity(n: int, slack: int = PAIR_SLACK) -> int:
+    return ((slack * n) // 1024) * 1024
+
+
+def emit_capacity(n: int, slack: int = EMIT_SLACK) -> int:
+    return ((slack * n) // 1024) * 1024

@@ -810,8 +810,19 @@ def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
                                                     interpret=interpret)
         pair_overflow = wrapped | (total > emit_cap)
         # id-window rows knob for on-chip sweeps (gather loop scales with
-        # window rows; smaller windows risk extra resolve iterations)
+        # window rows; smaller windows pay extra resolve iterations).
+        # Constraints are hard, not advisory: the resolve loop's progress
+        # proof needs the window to cover a whole SUBLANES*LANES-aligned
+        # block (>= 8 rows, multiple of 8), and big windows unroll the
+        # gather row loop past the Mosaic compile cliff (cap 64).  Read at
+        # trace time: set before the first scan of a process (sweeps run
+        # one value per process; the jit cache ignores later changes).
         idw = int(os.environ.get("BROADPHASE_IDW_ROWS", "32"))
+        if idw < 8 or idw % 8 or idw > 64:
+            raise ValueError(
+                f"BROADPHASE_IDW_ROWS={idw}: must be a multiple of 8 in "
+                "[8, 64] (window must cover an aligned 1024-id block or "
+                "the resolve loop cannot guarantee progress)")
         a, b = expand_pairs_prepped(ids_a, sv, ab, bid, total,
                                     emit_cap, rule=narrow, dim=dim,
                                     idw_rows=idw, interpret=interpret)

@@ -34,6 +34,16 @@ TILE = TILE_ROWS * LANES            # sequential (carried offsets), so
 STAGE_ROWS = 2 * TILE_ROWS          # bigger tiles amortize per-step latency
 
 
+def auto_tile_rows(n: int, small: int = TILE_ROWS, big: int = 128,
+                   threshold: int = 1 << 21) -> int:
+    """Tile rows for a sequential-grid streaming kernel: per-step fixed
+    costs dominate big inputs (measured: 16M lanes at 4096-entry tiles
+    spend ~6 of 7 ms on ~3900 step latencies), so scale the tile with the
+    input.  Shared by stream_compact / prep_runs / run_ends so a retune
+    moves every kernel to the same regime."""
+    return big if n >= threshold else small
+
+
 def _bc(mask, a):
     return mask
 
@@ -210,10 +220,7 @@ def stream_compact(keep: jnp.ndarray, cols: Sequence[jnp.ndarray],
         fills = (0xFFFF_FFFF,) * n_cols
     assert len(fills) == n_cols
     if tile_rows == 0:
-        # the grid is sequential, so per-step fixed costs dominate big
-        # inputs: scale the tile with N (measured: 16M lanes at 4096-entry
-        # tiles spend ~6 of 7 ms on ~3900 step latencies)
-        tile_rows = 128 if N0 >= (1 << 21) else TILE_ROWS
+        tile_rows = auto_tile_rows(N0)
     TL = tile_rows * LANES
     N = -(-N0 // TL) * TL
     if N != N0:

@@ -325,6 +325,10 @@ def expand_pairs_prepped(ids: jnp.ndarray, sv: jnp.ndarray,
     """
     P = pair_capacity
     cap = ids.shape[0]
+    # the resolve loop's guaranteed-progress argument requires the window
+    # to cover one whole SUBLANES-aligned id block; the gather row loop
+    # unrolls idw_rows stages (Mosaic compile cost), so bound it too
+    assert 8 <= idw_rows <= 64 and idw_rows % SUBLANES == 0, idw_rows
     if rule is None:
         rule = jnp.int32(0)
     rule = jnp.asarray(rule).astype(jnp.int32).reshape(1)

@@ -183,9 +183,8 @@ def prep_runs(e: jnp.ndarray, ids: jnp.ndarray, count,
     """
     cap = e.shape[0]
     if tile_rows == 0:
-        # sequential grid: scale the tile with the input so per-step fixed
-        # costs don't dominate (same regime as stream_compact)
-        tile_rows = 128 if cap >= (1 << 21) else T_ROWS
+        from .pallas_compact import auto_tile_rows
+        tile_rows = auto_tile_rows(cap, small=T_ROWS)
     TL = tile_rows * LANES
     padded = -(-max(cap, 1) // TL) * TL
     if padded != cap:

@@ -111,10 +111,9 @@ def run_ends(lca: jnp.ndarray, depth: jnp.ndarray, n_depths: int,
     """
     cap = lca.shape[0]
     if tile_rows == 0:
-        # sequential grid: per-step fixed costs dominate big inputs (same
-        # regime as stream_compact); the suffix chains only grow by two
-        # stages at 4x the tile
-        tile_rows = 128 if cap >= (1 << 21) else TILE_ROWS
+        # the suffix chains only grow by two stages at 4x the tile
+        from .pallas_compact import auto_tile_rows
+        tile_rows = auto_tile_rows(cap, small=TILE_ROWS)
     TL = tile_rows * LANES
     padded = -(-cap // TL) * TL
     # depth-presence bitmask (one cheap pass + OR-reduce): the kernel

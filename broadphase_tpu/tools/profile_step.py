@@ -45,7 +45,8 @@ def make_prefixes(spec, smin, smax, n, pair_cap, emit_cap):
     """Each entry: name -> jitted fn(bmin, bmax, ids) running the pipeline
     up to and including that stage (returns small reductions so nothing is
     dead-code-eliminated)."""
-    cap = ((max(1, (37 * n) // 10) // 1024) + 1) * 1024  # mirrors bench.py
+    from .. import bench_caps
+    cap = bench_caps.tree_capacity(n)        # same shapes as bench.py
 
     def _build(bmin, bmax, ids):
         return layer.build(spec, jnp.asarray(smin), jnp.asarray(smax),
@@ -145,8 +146,9 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     spec = Index64_3D
     smin, smax, bmin, bmax, ids = _scene(spec.dim, n)
-    emit_cap = ((16 * n) // 1024) * 1024     # mirrors bench.py emit_slack
-    pair_cap = ((9 * n) // 1024) * 1024      # mirrors bench.py pair_slack
+    from .. import bench_caps
+    emit_cap = bench_caps.emit_capacity(n)   # same shapes as bench.py
+    pair_cap = bench_caps.pair_capacity(n)
     d_args = tuple(jax.device_put(x) for x in (bmin, bmax, ids))
 
     print(f"profiling n={n} pair_cap={pair_cap} emit_cap={emit_cap} on "

@@ -248,6 +248,32 @@ def smoke_prep_big_tiles():
                                   np.asarray(bid1)[:m])
 
 
+@_case("expand: narrow id window (idw_rows=16), compiled")
+def smoke_expand_narrow_window():
+    """The multi-window resolve loop, pl.multiple_of alignment, and the
+    windowed DMA are compiled-only behaviors; exercise a non-default
+    window size end-to-end through layer.scan before any on-chip sweep
+    trusts BROADPHASE_IDW_ROWS."""
+    from ..index import Index64_3D
+    from .. import layer
+    from ..utils import gen, oracle
+
+    spec = Index64_3D
+    sc = gen.gen_boxes(count=5_000, density=1.0 / 1000.0, seed=5)
+    st = layer.build(spec, sc.system_min, sc.system_max,
+                     sc.bounds_min, sc.bounds_max, sc.ids)
+    os.environ["BROADPHASE_IDW_ROWS"] = "16"
+    try:
+        st, res = layer.scan(spec, st, 16 * 5_000, emit_capacity=32 * 5_000)
+    finally:
+        del os.environ["BROADPHASE_IDW_ROWS"]
+    assert not bool(res.overflow)
+    got = layer.scan_result_to_numpy(res)
+    keys, tids, _ = layer.tree_to_numpy(spec, st)
+    want = oracle.scan(spec, keys, tids)
+    assert got == want, (len(got), len(want))
+
+
 @_case("scan: degenerate all-one-cell scene")
 def smoke_degenerate_one_cell():
     from ..index import Index64_3D
