@@ -464,10 +464,43 @@ def _run_attempt(timeout_s: float, stall_s: float):
     return None
 
 
+def _wait_for_backend(budget_s: float, probe_every_s: float = 120.0):
+    """Block until the TPU backend answers a cheap device probe (tiny
+    subprocess; a down tunnel hangs register() at interpreter start with
+    ~0 CPU, so only a subprocess + timeout can test it safely).  Bounded:
+    returns False when the budget runs out — a tunnel outage then fails
+    the attempts quickly instead of each one eating its full stall window.
+    """
+    deadline = time.time() + budget_s
+    first = True
+    while True:
+        probe_t = min(180.0, max(10.0, deadline - time.time()))
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('UP')"],
+                capture_output=True, text=True, timeout=probe_t)
+            if r.returncode == 0 and "UP" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if first:
+            print("TPU backend not answering; waiting for the tunnel "
+                  f"(budget {budget_s:.0f}s)", file=sys.stderr)
+            first = False
+        if time.time() + probe_every_s + 60.0 > deadline:
+            print("TPU backend still unavailable after the wait budget",
+                  file=sys.stderr)
+            return False
+        time.sleep(probe_every_s)
+
+
 def main():
     if "--child" in sys.argv:
         child_main()
         return
+    _wait_for_backend(float(os.environ.get("BROADPHASE_BENCH_WAIT_S",
+                                           "3600")))
     attempts = int(os.environ.get("BROADPHASE_BENCH_ATTEMPTS", "3"))
     timeout_s = float(os.environ.get("BROADPHASE_BENCH_TIMEOUT", "2700"))
     stall_s = float(os.environ.get("BROADPHASE_BENCH_STALL", "900"))
