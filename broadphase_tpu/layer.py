@@ -420,30 +420,58 @@ def _sort_now(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
     if spec.bits != 64:
         return (lambda r: (r[0], r[1], r[2]))(_sort3(None))
 
-    # tier 2: when every live id fits 20 bits AND every key fits
-    # 64 - (20 + dim) bits (shallow-to-mid depths — the common case),
-    # the whole (key, id, aux) tuple packs into TWO u32 sort columns:
-    # P = key << (20 + dim) | id << dim | aux, monotone in (key, id)
+    # tier 2: two-column packed sort for shallow scenes.  A cell at depth
+    # d has its low ``origin_bits - dim*d`` Morton bits ZERO (the grid
+    # walk truncates coordinates to depth-d boundaries), so when every
+    # live entry's depth <= dmax and ids fit 20 bits, the whole
+    # (key, id, aux) tuple compresses into ONE 63-bit value split over
+    # two u32 sort columns:
+    #
+    #   P = (origin >> zbits) << (ds + idb)  |  depth << idb  |  id<<dim|aux
+    #
+    # with zbits = origin_bits - dim*dmax, ds = depth bits, idb = 20+dim.
+    # Order is preserved: the dropped origin bits are zero for every live
+    # entry, so (origin_hi, depth, id) compares exactly like (key, id).
+    # Fits when dim*dmax + ds + idb <= 63 (<= 63, not 64: live P then
+    # stays below the all-ones pad sentinel) — dmax <= 11 for 3D,
+    # dmax <= 18 for Index64_2D (most 2D scenes qualify).
+    ds = spec.origin_shift
     idb = 20 + dim
-    kb = 64 - idb
-    hi_ok = jnp.max(jnp.where(live, keys.hi, 0)) < \
-        jnp.uint32((1 << (kb - 32)) - 1)
-    narrow2 = narrow & hi_ok & (max_id < jnp.uint32((1 << 20) - 1))
+    k = ds + idb                              # static low-field width
+    dep_live = jnp.where(live, bidx.depth_of(spec, keys), 0)
+    dmax = jnp.max(dep_live).astype(jnp.int32)
+    narrow2 = narrow & (max_id < jnp.uint32((1 << 20) - 1)) & \
+        (dim * dmax + k <= 63)
 
     def _sort2(_):
-        ub = jnp.uint32(idb)
-        c_hi = jnp.where(live, (keys.hi << ub) | (keys.lo >> (32 - ub)),
-                         jnp.uint32(0xFFFF_FFFF))
-        c_lo = jnp.where(live, (keys.lo << ub) | packed,
-                         jnp.uint32(0xFFFF_FFFF))
+        ones = jnp.uint32(0xFFFF_FFFF)
+        s = (jnp.int32(ds + spec.origin_bits) - dim * dmax)
+        sm = (s & 31).astype(jnp.uint32)
+        ge32 = s >= 32
+        # q = key >> s (the dropped bits are depth, re-added below, and
+        # zero origin bits); s in [ds, ds + origin_bits], never 0 or 32+32
+        q_lo = jnp.where(ge32, keys.hi >> sm,
+                         (keys.lo >> sm) | (keys.hi << ((32 - sm) & 31)))
+        q_hi = jnp.where(ge32, jnp.uint32(0), keys.hi >> sm)
+        depth = keys.lo & jnp.uint32((1 << ds) - 1)
+        lo_field = (depth << jnp.uint32(idb)) | packed
+        c_hi = jnp.where(live, (q_hi << jnp.uint32(k))
+                         | (q_lo >> jnp.uint32(32 - k)), ones)
+        c_lo = jnp.where(live, (q_lo << jnp.uint32(k)) | lo_field, ones)
         h, low = _sort_columns((c_hi, c_lo))
-        pad2 = h == jnp.uint32(0xFFFF_FFFF)
-        khi = jnp.where(pad2, jnp.uint32(0xFFFF_FFFF), h >> ub)
-        klo = jnp.where(pad2, jnp.uint32(0xFFFF_FFFF),
-                        (h << (32 - ub)) | (low >> ub))
+        pad2 = h == ones
+        # unpack: id/aux and depth from the low field, origin_hi above it
         sids = jnp.where(pad2, PAD_ID,
                          (low & jnp.uint32((1 << idb) - 1)) >> dim)
         saux = jnp.where(pad2, jnp.uint32(0), low & m)
+        sdep = (low >> jnp.uint32(idb)) & jnp.uint32((1 << ds) - 1)
+        sq_lo = (low >> jnp.uint32(k)) | (h << jnp.uint32(32 - k))
+        sq_hi = h >> jnp.uint32(k)
+        klo = jnp.where(ge32, sdep, (sq_lo << sm) | sdep)
+        khi = jnp.where(ge32, sq_lo << sm,
+                        (sq_hi << sm) | (sq_lo >> ((32 - sm) & 31)))
+        khi = jnp.where(pad2, ones, khi)
+        klo = jnp.where(pad2, ones, klo)
         return khi, klo, sids, saux
 
     khi, klo, sids, saux = jax.lax.cond(narrow2, _sort2, _sort3, None)

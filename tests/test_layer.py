@@ -223,3 +223,63 @@ def test_pair_capacity_overflow_flag():
     assert n_pairs > 4
     _, small = blayer.scan(spec, state, 4)
     assert bool(small.overflow)
+
+
+@pytest.mark.parametrize("spec", [Index64_2D, Index64_3D],
+                         ids=lambda s: s.name)
+@pytest.mark.parametrize("dmax_kind", ["shallow", "boundary", "deep"])
+def test_sort_now_tier2_packing(spec, dmax_kind):
+    """The depth-aware two-column packed sort (layer._sort_now tier 2)
+    must match a numpy (key, id) lexsort exactly: shallow scenes take the
+    packed branch, depths just past the gate fall back to three columns,
+    and both orders (and the aux payload) must be identical."""
+    import jax.numpy as jnp
+
+    dim = spec.dim
+    ds = spec.origin_shift
+    gate = (63 - (20 + dim) - ds) // dim      # dmax bound of the gate
+    dmax = {"shallow": max(gate - 2, 1), "boundary": gate,
+            "deep": min(gate + 1, spec.axis_bits)}[dmax_kind]
+    rng = np.random.default_rng(dmax * 7 + dim)
+    n = 1500
+    cap = 2048
+    depths = rng.integers(0, dmax + 1, n)
+    origins = [rng.integers(0, 1 << 30, n).astype(np.uint32)
+               for _ in range(dim)]
+    keys_np = np.zeros(n, np.uint64)
+    for i in range(n):
+        d = int(depths[i])
+        # truncate each axis coordinate to a depth-d boundary (low
+        # axis_bits - d bits zero), as the grid walk guarantees
+        ax = [(int(origins[k][i]) % (1 << spec.axis_bits))
+              >> (spec.axis_bits - d) << (spec.axis_bits - d)
+              for k in range(dim)]
+        morton = 0
+        for b in range(spec.axis_bits):
+            for k in range(dim):
+                morton |= ((ax[k] >> b) & 1) << (b * dim + k)
+        keys_np[i] = np.uint64((morton << ds) | d)
+    ids_np = rng.permutation(n).astype(np.uint32)
+    aux_np = rng.integers(0, 1 << dim, n).astype(np.uint32)
+
+    # pad to capacity
+    pad = cap - n
+    keys_full = np.concatenate([keys_np, np.full(pad, (1 << 64) - 1,
+                                                 np.uint64)])
+    ids_full = np.concatenate([ids_np, np.full(pad, 0xFFFF_FFFF,
+                                               np.uint32)])
+    aux_full = np.concatenate([aux_np, np.zeros(pad, np.uint32)])
+
+    keys = bidx.keys_from_numpy(spec, keys_full)
+    skeys, sids, saux = blayer._sort_now(
+        spec, keys, jnp.asarray(ids_full), jnp.asarray(aux_full))
+
+    order = np.lexsort((ids_np, keys_np))
+    want_keys = keys_np[order]
+    want_ids = ids_np[order]
+    want_aux = aux_np[order]
+    got_keys = np.asarray(bidx.keys_to_numpy(spec, skeys))[:n]
+    np.testing.assert_array_equal(got_keys, want_keys)
+    np.testing.assert_array_equal(np.asarray(sids)[:n], want_ids)
+    np.testing.assert_array_equal(np.asarray(saux)[:n], want_aux)
+    assert np.all(np.asarray(sids)[n:] == 0xFFFF_FFFF)
