@@ -195,3 +195,46 @@ def test_format_key_round_trips_origin_and_depth():
         assert spec.name in s and "depth: 5" in s
         for o in origin:
             assert f"0o{o:011o}" in s
+
+
+@pytest.mark.parametrize("spec", ALL_SPECS, ids=lambda s: s.name)
+def test_tz_pack_matches_perbit_oracle(spec):
+    """tz_pack (per-axis depth-unit trailing zeros, 5-bit fields) vs a
+    direct per-bit recomputation from decoded coordinates.  Feeds the
+    scan's emit-once rule, so alignment must be exact at every depth,
+    including depth 0 / coordinate 0 (clamped to 31)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    ab = spec.axis_bits
+    dim = spec.dim
+    depths = rng.integers(0, ab + 1, n)
+    keys_np = np.zeros(n, np.uint64)
+    coords = np.zeros((n, dim), np.uint32)
+    for i in range(n):
+        d = int(depths[i])
+        ax = [(int(rng.integers(0, 1 << ab)) >> (ab - d)) << (ab - d)
+              for _ in range(dim)]
+        coords[i] = ax
+        morton = 0
+        for b in range(ab):
+            for k in range(dim):
+                morton |= ((ax[k] >> b) & 1) << (b * dim + k)
+        keys_np[i] = np.uint64((morton << spec.origin_shift) | d)
+    keys = bidx.keys_from_numpy(spec, keys_np)
+    got = np.asarray(bidx.tz_pack(spec, keys))
+    for k in range(dim):
+        tz_got = (got >> (5 * k)) & 31
+        want = np.zeros(n, np.int64)
+        for i in range(n):
+            c = int(coords[i][k])
+            d = int(depths[i])
+            # depth-unit trailing zeros: bit j of the coordinate is depth
+            # unit ab - 1 - j ... tz = (#trailing zero bits) - (ab - d)
+            if c == 0:
+                want[i] = 31
+            else:
+                tzbits = (c & -c).bit_length() - 1
+                want[i] = min(max(tzbits - (ab - d), 0), 31)
+        np.testing.assert_array_equal(tz_got, want, err_msg=f"axis {k}")
