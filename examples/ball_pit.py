@@ -4,8 +4,10 @@ The reference (``examples/main.rs``) runs a specs-ECS ball pit with glium
 rendering: Verlet integration + gravity + speed cap (``:334-361``), a
 broadphase ``Layer<Index32_2D>`` with ``min_depth=4`` (``:364-374``),
 circle-circle narrow phase over ``par_scan`` candidates (``:458-479``),
-positional correction (``:508-511``), wall clamping (``:513-531``), and a
-per-frame ``collisions/elapsed`` printout (``:480-506``).
+a per-frame ``pick_ray`` with an exact ray-circle narrow phase
+(``:423-456``), positional correction (``:508-511``), wall clamping
+(``:513-531``), and a per-frame ``collisions/elapsed`` printout
+(``:480-506``).
 
 This port keeps the whole physics step on-device as one jitted function:
 broadphase (build + scan) and narrow phase + response are a single XLA
@@ -29,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from broadphase_tpu import Index32_2D, layer
+from broadphase_tpu import Index32_2D, layer, query
 
 SPEC = Index32_2D
 WORLD = 1.0                      # [0, 1]^2 box
@@ -44,26 +46,46 @@ def make_step(n: int, pair_cap: int, brute_force: bool):
     smax = jnp.full(2, WORLD, jnp.float32)
     obj_ids = jnp.arange(n, dtype=jnp.uint32)
 
-    def collide(pos, radius):
-        """Candidate pairs -> (i, j, valid) index arrays."""
+    def _ray_circle_dist(cand_ids, mask, pos, radius, origin, dirn):
+        """Exact ray-circle narrow phase (reference main.rs:423-456)."""
+        c = pos[cand_ids] - origin[None, :]
+        t = jnp.sum(c * dirn[None, :], axis=-1)
+        d2 = jnp.sum(c * c, axis=-1) - t * t
+        r2 = radius[cand_ids] ** 2
+        root = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+        hit = (d2 <= r2) & (t + root >= 0)
+        return jnp.where(hit, t - root, jnp.inf)
+
+    def collide(pos, radius, ray_dir):
+        """Candidate pairs -> (i, j, valid) arrays + the pick_ray demo."""
         if brute_force:
             # reference's O(n^2) fallback mode (main.rs:485-505)
             ii, jj = jnp.meshgrid(jnp.arange(n), jnp.arange(n),
                                   indexing="ij")
             mask = ii < jj
-            return ii.reshape(-1), jj.reshape(-1), mask.reshape(-1)
+            no_pick = (jnp.uint32(0xFFFF_FFFF), jnp.float32(jnp.inf),
+                       jnp.bool_(False))
+            return (ii.reshape(-1), jj.reshape(-1), mask.reshape(-1),
+                    no_pick)
         bmin = pos - radius[:, None]
         bmax = pos + radius[:, None]
         state = layer.build(SPEC, smin, smax, bmin, bmax, obj_ids,
                             min_depth=MIN_DEPTH)
+        # pick_ray demo: nearest ball along a sweeping ray from the top
+        # center, exact circle narrow phase (main.rs:423-456)
+        origin = jnp.asarray([0.5, 1.0], jnp.float32)
+        dirn = ray_dir / jnp.linalg.norm(ray_dir)
+        state, pick = query.pick_ray(
+            SPEC, state, smin, smax, origin, ray_dir, jnp.float32(2.0),
+            _ray_circle_dist, (pos, radius, origin, dirn))
         state, res = layer.scan(SPEC, state, pair_cap)
         i = jnp.minimum(res.pairs_a, jnp.uint32(n - 1)).astype(jnp.int32)
         j = jnp.minimum(res.pairs_b, jnp.uint32(n - 1)).astype(jnp.int32)
         valid = jnp.arange(pair_cap) < res.count
-        return i, j, valid
+        return i, j, valid, (pick.obj_id, pick.distance, pick.found)
 
     @jax.jit
-    def step(pos, prev, radius):
+    def step(pos, prev, radius, ray_dir):
         # Verlet + gravity (main.rs:334-350)
         vel = (pos - prev) / DT
         vel = vel.at[:, 1].add(GRAVITY * DT)
@@ -72,7 +94,7 @@ def make_step(n: int, pair_cap: int, brute_force: bool):
         new_pos = pos + vel * DT
 
         # broadphase + circle narrow phase (main.rs:458-479)
-        i, j, valid = collide(new_pos, radius)
+        i, j, valid, pick = collide(new_pos, radius, ray_dir)
         d = new_pos[i] - new_pos[j]
         dist = jnp.linalg.norm(d, axis=-1)
         rsum = radius[i] + radius[j]
@@ -89,7 +111,7 @@ def make_step(n: int, pair_cap: int, brute_force: bool):
         # wall clamp (main.rs:513-531)
         new_pos = jnp.clip(new_pos, radius[:, None],
                            WORLD - radius[:, None])
-        return new_pos, pos, jnp.sum(hit.astype(jnp.int32))
+        return new_pos, pos, jnp.sum(hit.astype(jnp.int32)), pick
 
     return step
 
@@ -112,21 +134,29 @@ def main(argv=None):
 
     pair_cap = -(-32 * n // 1024) * 1024   # tile-aligned for the TPU kernel
     step = make_step(n, pair_cap=pair_cap, brute_force=args.brute_force)
-    pos, prev, _ = step(pos, prev, radius)      # compile
+
+    def ray_at(frame):
+        # sweeping ray from the top center (headless cursor analog)
+        a = np.float32(-1.9 + 1.4 * ((frame % 120) / 120.0))
+        return jnp.asarray([np.sin(a) * 0.4, np.cos(a)], jnp.float32)
+
+    pos, prev, _, _ = step(pos, prev, radius, ray_at(0))     # compile
     jax.block_until_ready(pos)
 
     total_col = 0
     t0 = time.perf_counter()
     for frame in range(args.frames):
         fs = time.perf_counter()
-        pos, prev, ncol = step(pos, prev, radius)
+        pos, prev, ncol, pick = step(pos, prev, radius, ray_at(frame))
         ncol = int(ncol)
         total_col += ncol
         elapsed = (time.perf_counter() - fs) * 1e6
         if frame % 30 == 0:
             # reference per-frame printout (main.rs:480-506)
+            picked = (f"pick id={int(pick[0])} d={float(pick[1]):.3f}"
+                      if bool(pick[2]) else "pick miss")
             print(f"frame {frame:4d}: collisions: {ncol:6d} "
-                  f"elapsed: {elapsed:9.0f}us")
+                  f"elapsed: {elapsed:9.0f}us  {picked}")
         if args.png_every and frame % args.png_every == 0:
             _render(np.asarray(pos), np.asarray(radius), frame)
     dt = time.perf_counter() - t0
