@@ -995,6 +995,59 @@ def layer_to_scene_layer(spec: IndexSpec, state: LayerState):
                       sorted=bool(state.sorted))
 
 
+def _aux_from_tree_np(spec: IndexSpec, keys_np, ids_np) -> np.ndarray:
+    """Reconstruct the per-entry block-offset aux bools from a serialized
+    tree (host-side, one-off at load): bit k set iff the entry's cell is
+    not its object's minimum cell along axis k.  The BR_SCENE format
+    predates the aux field, so restores recompute it — keeping restored
+    layers on the same tight unique-pairs ``pair_capacity`` contract as
+    built ones.
+
+    Safety: WRONG aux bits can silently drop pairs (the emit-once rule
+    would reject every copy), while all-zero aux merely degrades to
+    keep-all.  Reconstruction therefore groups entries by (id, depth) and
+    only assigns bits to groups that verify as ONE full rectangular cell
+    block (per-axis spans consistent with a cartesian product of the
+    group size); anything else — merged same-id layers, duplicate cells —
+    falls back to aux=0 for that group."""
+    n = len(ids_np)
+    aux = np.zeros(n, np.uint32)
+    if n == 0:
+        return aux
+    keys = bidx.keys_from_numpy(spec, keys_np)
+    coords = [np.asarray(c).astype(np.int64)
+              for c in bidx.origin_of(spec, keys)]
+    depth = np.asarray(bidx.depth_of(spec, keys)).astype(np.int64)
+    ids64 = np.asarray(ids_np, np.uint32).astype(np.int64)
+    group_key = (ids64 << 6) | np.clip(depth, 0, 63)
+    order = np.argsort(group_key, kind="stable")
+    gk = group_key[order]
+    starts = np.flatnonzero(np.concatenate([[True], gk[1:] != gk[:-1]]))
+    sizes = np.diff(np.append(starts, n))
+    d_g = depth[order][starts]
+    # coordinates are 32-bit local-space values (reference scale_at_depth
+    # = 1 << (32 - depth), src/geom.rs:49): adjacent block cells at depth
+    # d differ by exactly 2^(32-d)
+    step = np.left_shift(np.int64(1), np.clip(32 - d_g, 0, 63))
+    nvals_prod = np.ones(len(starts), np.int64)
+    bits_sorted = np.zeros(n, np.uint32)
+    gmins = []
+    for k in range(spec.dim):
+        c = coords[k][order]
+        gmin = np.minimum.reduceat(c, starts)
+        gmax = np.maximum.reduceat(c, starts)
+        nvals_prod *= (gmax - gmin) // np.maximum(step, 1) + 1
+        gmins.append(gmin)
+    ok = nvals_prod == sizes          # one full rectangular block
+    ok_full = np.repeat(ok, sizes)
+    for k in range(spec.dim):
+        gmin_full = np.repeat(gmins[k], sizes)
+        bits_sorted |= ((coords[k][order] > gmin_full)
+                        .astype(np.uint32) << k)
+    aux[order] = np.where(ok_full, bits_sorted, np.uint32(0))
+    return aux
+
+
 def layer_from_scene_layer(spec: IndexSpec, scene_layer,
                            capacity: Optional[int] = None) -> LayerState:
     """Restore device state from a serialized SceneLayer (resume path)."""
@@ -1011,9 +1064,12 @@ def layer_from_scene_layer(spec: IndexSpec, scene_layer,
     else:
         new_keys = U64(state.keys.hi.at[idx].set(keys.hi),
                        state.keys.lo.at[idx].set(keys.lo))
+    aux_np = _aux_from_tree_np(spec, scene_layer.keys,
+                               np.asarray(scene_layer.ids, np.uint32))
     return state._replace(
         keys=new_keys,
         ids=state.ids.at[idx].set(ids),
+        aux=state.aux.at[idx].set(jnp.asarray(aux_np)),
         count=jnp.int32(n),
         sorted=jnp.bool_(bool(scene_layer.sorted)),
     )

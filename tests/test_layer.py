@@ -283,3 +283,39 @@ def test_sort_now_tier2_packing(spec, dmax_kind):
     np.testing.assert_array_equal(np.asarray(sids)[:n], want_ids)
     np.testing.assert_array_equal(np.asarray(saux)[:n], want_aux)
     assert np.all(np.asarray(sids)[n:] == 0xFFFF_FFFF)
+
+
+def test_scene_layer_restore_reconstructs_aux():
+    """layer_from_scene_layer rebuilds the emit-once aux bits (BR_SCENE
+    predates the field): bit-equal to the build-time aux for a normal
+    tree, zero (safe keep-all) for groups that are not one full block."""
+    spec = Index64_3D
+    smin, smax, bmin, bmax, ids = random_scene(spec.dim, 400, seed=21)
+    st = blayer.build(spec, smin, smax, bmin, bmax, ids,
+                      out_capacity=8 * 400)
+    sl = blayer.layer_to_scene_layer(spec, st)
+    st2 = blayer.layer_from_scene_layer(spec, sl, capacity=8 * 400)
+    cnt = int(st.count)
+    assert int(st2.count) == cnt
+    np.testing.assert_array_equal(np.asarray(st.aux)[:cnt],
+                                  np.asarray(st2.aux)[:cnt])
+    # end-to-end: the restored layer scans with the tight (unique-pairs)
+    # capacity contract and matches the original pair list exactly
+    st, res = blayer.scan(spec, st, 24 * 400, emit_capacity=64 * 400)
+    st2, res2 = blayer.scan(spec, st2, 24 * 400, emit_capacity=64 * 400)
+    assert int(res2.count) == int(res.count)
+    np.testing.assert_array_equal(np.asarray(res.pairs_a),
+                                  np.asarray(res2.pairs_a))
+
+    # not-one-block group (same id twice, disjoint cells): aux falls back
+    # to zero for that id, scan stays exact vs the oracle
+    from broadphase_tpu.utils.scene import SceneLayer
+    dup_ids = np.array([7, 7], np.uint32)
+    k1, i1, c1 = blayer.tree_to_numpy(spec, st)
+    # take two well-separated cells of different objects, relabel both 7
+    pos_a, pos_b = 0, c1 - 1
+    keys_np = np.array([k1[pos_a], k1[pos_b]], k1.dtype)
+    sl2 = SceneLayer(min_depth=0, keys=keys_np, ids=dup_ids, sorted=False)
+    st3 = blayer.layer_from_scene_layer(spec, sl2, capacity=16)
+    np.testing.assert_array_equal(np.asarray(st3.aux)[:2],
+                                  np.zeros(2, np.uint32))
