@@ -186,6 +186,16 @@ def test_sorted_merge_fast_path():
     _, rw = blayer.scan(spec, whole, 16384)
     assert blayer.scan_result_to_numpy(rm) == blayer.scan_result_to_numpy(rw)
 
+    # the static-merge production config: split emit/pair capacities over
+    # a merged tree — aux must have survived the merge for the tight pair
+    # budget to hold exactly the unique pairs
+    np.testing.assert_array_equal(
+        np.asarray(merged.aux)[:mc], np.asarray(whole.aux)[:wc])
+    _, rm2 = blayer.scan(spec, merged, 8192, emit_capacity=32768)
+    assert not bool(rm2.overflow)
+    assert blayer.scan_result_to_numpy(rm2) == \
+        blayer.scan_result_to_numpy(rw)
+
 
 def test_min_depth_parity():
     """min_depth forces deeper cells (more slots); parity with oracle using
