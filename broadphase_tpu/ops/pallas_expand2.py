@@ -104,9 +104,10 @@ def _gather_idwin(wins, idx, idw_rows=IDW_ROWS):
     return accs
 
 
-def _make_kernel(dim: int, idw_rows: int = IDW_ROWS):
+def _make_kernel(dim: int, idw_rows: int = IDW_ROWS, ab_bias: int = 0):
     IDWR = idw_rows
     IDWN = idw_rows * LANES
+    SEEN = 1 << 30                 # seen flag packed into the biased abase
 
     def kernel(blk_ref, c0_ref, spec_ref, total_ref, rule_ref,
                sv_lo, sv_hi, ab_lo, ab_hi, bid_lo, bid_hi, ids_hbm,
@@ -183,25 +184,25 @@ def _make_kernel(dim: int, idw_rows: int = IDW_ROWS):
             b_shift //= 2
 
         placed = rem == 0
-        fab = jnp.where(placed, ab_h, 0)
+        # the seen flag rides bit 30 of the BIASED abase (ab + ab_bias in
+        # (0, 2^30), asserted by the wrapper), so the fill rolls TWO tiles
+        # per stage instead of three
+        fabp = jnp.where(placed, (ab_h + ab_bias) | SEEN, 0)
         fbid = jnp.where(placed, bid_h, 0)
 
         # ---- forward fill (runs tile the slot space: every unplaced slot
         # copies the nearest placed slot before it; none -> covering run)
-        seen = placed
         s = 1
         while s < T:
             src_ok = lin32 >= s
-            rab = _roll64(fab, s)
+            rfp = _roll64(fabp, s)
             rbid = _roll64(fbid, s)
-            rseen = _roll64(seen.astype(jnp.int32), s) != 0
-            rseen = rseen & src_ok
-            take = (~seen) & rseen
-            fab = jnp.where(take, rab, fab)
+            take = ((fabp & SEEN) == 0) & ((rfp & SEEN) != 0) & src_ok
+            fabp = jnp.where(take, rfp, fabp)
             fbid = jnp.where(take, rbid, fbid)
-            seen = seen | rseen
             s <<= 1
-        fab = jnp.where(seen, fab, ab0)
+        seen = (fabp & SEEN) != 0
+        fab = jnp.where(seen, (fabp & (SEEN - 1)) - ab_bias, ab0)
         fbid = jnp.where(seen, fbid, bid0)
 
         # ---- outputs: a-side via windowed (id, tz) gather + emit-once keep
@@ -329,6 +330,12 @@ def expand_pairs_prepped(ids: jnp.ndarray, sv: jnp.ndarray,
     # to cover one whole SUBLANES-aligned id block; the gather row loop
     # unrolls idw_rows stages (Mosaic compile cost), so bound it too
     assert 8 <= idw_rows <= 64 and idw_rows % SUBLANES == 0, idw_rows
+    # biased abase (fill seen-flag packing): ab in [1 - P, cap], so with
+    # bias P + 1 it sits in [2, cap + P + 1], which must stay below the
+    # bit-30 seen flag.  2^30 lanes of emission/tree would need >8 GB of
+    # HBM per column, so this never binds in practice.
+    ab_bias = P + 1
+    assert cap + P + 2 < (1 << 30), (cap, P)
     if rule is None:
         rule = jnp.int32(0)
     rule = jnp.asarray(rule).astype(jnp.int32).reshape(1)
@@ -397,7 +404,7 @@ def expand_pairs_prepped(ids: jnp.ndarray, sv: jnp.ndarray,
         ],
     )
     a, b = pl.pallas_call(
-        _make_kernel(dim, idw_rows),
+        _make_kernel(dim, idw_rows, ab_bias),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Pp // LANES, LANES), jnp.uint32),
