@@ -23,15 +23,18 @@ is the final report mask — no large scatters anywhere.
 
 Deviations from the reference, by design (documented contract):
 
-* ``test_order`` is not consulted: BFS visits every passing child of a
-  level together, and the result set of ``test`` does not depend on visit
-  order.  For ``pick`` the reference uses order + a shrinking ``nearest``
-  purely as an early-out; the result equals the distance argmin over all
-  candidates passing ``should_test(nearest=max_distance)`` whenever the
-  narrow phase is *consistent* (an object's distance is never below its
-  cell's entry distance) — the same assumption the reference's early-out
-  relies on.  ``pick_generic`` therefore runs the test walk and reduces
-  with argmin.
+* ``test_order`` is not consulted by the BFS: it visits every passing
+  child of a level together, and the result set of ``test`` does not
+  depend on visit order.  For ``pick`` the reference uses order + a
+  shrinking ``nearest`` purely as an early-out; the result equals the
+  distance argmin over all candidates passing
+  ``should_test(nearest=max_distance)`` whenever the narrow phase is
+  *consistent* (an object's distance is never below its cell's entry
+  distance) — the same assumption the reference's early-out relies on.
+  ``pick_generic`` therefore runs the test walk and reduces with argmin.
+  For narrow phases WITHOUT that guarantee, :func:`pick_ordered` (below)
+  reproduces the reference's ordered DFS contract exactly — test_order,
+  visit-time pruning, and the once-per-id ``processed`` set included.
 * The frontier is fixed capacity; exceeding it sets the result's overflow
   flag (never silent truncation).
 
@@ -50,7 +53,7 @@ frontier axis F):
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -192,6 +195,373 @@ def pick_generic(spec: IndexSpec, state: LayerState, root_state,
     d = jnp.asarray(get_dist(state.ids, mask, *get_dist_args), jnp.float32)
     d = jnp.where(jnp.isfinite(d) & mask, d, jnp.inf)
     return state, _argmin_pick(d, state.ids, md)
+
+
+# ---------------------------------------------------------------------------
+# Ordered (reference-exact) pick: sequential DFS with early-out
+# ---------------------------------------------------------------------------
+
+
+class OrderedPickResult(NamedTuple):
+    distance: jnp.ndarray   # () f32; +inf when nothing hit
+    obj_id: jnp.ndarray     # () uint32; PAD_ID when nothing hit
+    found: jnp.ndarray      # () bool
+    overflow: jnp.ndarray   # () bool; True if the DFS stack overflowed
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 9, 10))
+def pick_ordered(spec: IndexSpec, state: LayerState, root_state,
+                 subdivide_fn: Callable, should_test_fn: Callable,
+                 test_order_fn: Callable, get_dist_fn: Callable,
+                 max_distance=jnp.inf, get_dist_args=(),
+                 max_depth: Optional[int] = None, stack_cap: int = 256
+                 ) -> Tuple[LayerState, OrderedPickResult]:
+    """``Layer::pick`` with the reference's EXACT traversal contract
+    (``src/layer.rs:364-404`` driving ``test_impl`` ``:167-239``): children
+    are visited in ``test_order``, a shrinking ``nearest`` is threaded
+    through the walk (so ``should_test`` prunes against the best distance
+    *at visit time*), each object is charged exactly one ``get_dist``
+    evaluation (the reference's ``processed`` set, keyed by object id), and
+    the result is the last id whose distance strictly improved ``nearest``.
+
+    Unlike :func:`pick_generic` (vectorized argmin — exact only for
+    *consistent* narrow phases, see module docstring), this engine matches
+    the reference for ARBITRARY, even inconsistent, ``get_dist`` — at the
+    cost of a sequential ``lax.while_loop`` DFS.  Picks are latency-class
+    single queries, so sequential is the right shape on TPU too.
+
+    Protocol (a superset of the generic one — same ``root_state`` /
+    ``subdivide_fn`` leaves-with-leading-axis layout):
+
+    * ``should_test_fn(gstate, nearest) -> bool`` — NOW takes the current
+      nearest distance (reference ``src/geom.rs:347``).
+    * ``test_order_fn(gstate) -> (2**dim,) int32`` — child visit order of
+      the PARENT cell's geometry (reference ``src/geom.rs:342``).
+    * ``get_dist_fn(gstate, nearest, obj_id, *get_dist_args) -> f32`` —
+      narrow-phase distance for one object, evaluated at the cell where
+      the object is first reported (reference passes the sub-geometry the
+      same way).  Masked to one evaluation per id; non-finite => no hit
+      (``src/layer.rs:388-398``).
+
+    Duplicate-id bookkeeping costs two extra ``lax.sort`` passes over the
+    element capacity per call (building the id -> group map).
+    """
+    state = sort(spec, state)
+    keys = state.keys
+    ids = state.ids
+    cap = ids.shape[0]
+    count = state.count
+    S = stack_cap
+    fanout = spec.fanout
+
+    # id -> group-number map (the reference's `processed: HashSet<ID>`):
+    # rep[p] is a dense group index shared by every tree slot holding the
+    # same id; `processed` is a bool array over groups.
+    pos = jnp.arange(cap, dtype=jnp.uint32)
+    ids_s, pos_s = jax.lax.sort((ids, pos), num_keys=2)
+    seg_start = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                 ids_s[1:] != ids_s[:-1]])
+    gidx = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
+    _, rep = jax.lax.sort((pos_s, gidx), num_keys=1)
+
+    limit = spec.axis_bits if max_depth is None \
+        else min(max_depth, spec.axis_bits)
+    g_leaves0, g_def = jax.tree_util.tree_flatten(root_state)
+
+    kcols0 = tuple(jnp.zeros((S,), jnp.uint32)
+                   for _ in bidx.sort_operands(spec, spec.zero_key((1,))))
+    lo0_a = jnp.zeros((S,), jnp.int32)
+    hi0_a = jnp.zeros((S,), jnp.int32).at[0].set(count)
+    tag0_a = jnp.zeros((S,), jnp.int32)
+    stl0 = tuple(jnp.zeros((S,) + l.shape[1:], l.dtype).at[0].set(l[0])
+                 for l in g_leaves0)
+    sp0 = jnp.where(count > 0, jnp.int32(1), jnp.int32(0))
+    carry0 = (kcols0, lo0_a, hi0_a, tag0_a, stl0, sp0,
+              jnp.float32(max_distance), jnp.uint32(PAD_ID),
+              jnp.zeros((cap,), jnp.bool_), jnp.bool_(False))
+
+    def cond(carry):
+        return carry[5] > 0
+
+    def body(carry):
+        kcols, lo_a, hi_a, tag_a, stl, sp, nearest, best, processed, ovf = \
+            carry
+        top = sp - 1
+        ek = tuple(c[top][None] for c in kcols)          # (1,) columns
+        key1 = bidx.key_from_columns(spec, ek)
+        lo0 = lo_a[top]
+        hi0 = hi_a[top]
+        g1 = jax.tree_util.tree_unflatten(g_def, [l[top][None] for l in stl])
+
+        def fold_fn(carry):
+            kcols, lo_a, hi_a, tag_a, stl, sp, nearest, best, processed, \
+                ovf = carry
+            oid = ids[lo0]
+            rp = rep[lo0]
+            already = processed[rp]
+            d = jnp.asarray(get_dist_fn(g1, nearest, oid, *get_dist_args),
+                            jnp.float32).reshape(())
+            d = jnp.where(already | ~jnp.isfinite(d), jnp.inf, d)
+            best = jnp.where(d < nearest, oid, best)
+            nearest = jnp.minimum(nearest, d)
+            processed = processed.at[rp].set(True)
+            nlo = lo0 + 1
+            lo_a = lo_a.at[top].set(nlo)
+            sp = jnp.where(nlo < hi0, sp, sp - 1)
+            return (kcols, lo_a, hi_a, tag_a, stl, sp, nearest, best,
+                    processed, ovf)
+
+        def cell_fn(carry):
+            should = jnp.asarray(should_test_fn(g1, nearest),
+                                 jnp.bool_).reshape(())
+            depth = bidx.depth_of(spec, key1)[0]
+            at_limit = depth >= jnp.uint32(limit)
+            action = jnp.where(~should, 0, jnp.where(at_limit, 1, 2))
+
+            def pop_fn(carry):
+                return carry[:5] + (carry[5] - 1,) + carry[6:]
+
+            def to_fold_fn(carry):
+                # lo0 < hi0 is guaranteed: entries are only pushed for
+                # non-empty slices (the reference's empty-tree early return
+                # never fires on a pushed entry).
+                tag_a = carry[3].at[top].set(1)
+                return carry[:3] + (tag_a,) + carry[4:]
+
+            def expand_fn(carry):
+                kcols, lo_a, hi_a, tag_a, stl, sp, nearest, best, \
+                    processed, ovf = carry
+                child_keys, _valid = bidx.subdivide(spec, key1)  # (f, 1)
+                ccols = bidx.sort_operands(spec, child_keys)
+                bounds = lower_bound_keys(spec, keys, child_keys)[:, 0]
+                bounds = jnp.clip(bounds, lo0, hi0)
+                cuts = jnp.concatenate([bounds, hi0[None]])      # (f+1,)
+                child_g = subdivide_fn(g1)                       # (f, 1, .)
+                cleaves = jax.tree_util.tree_flatten(child_g)[0]
+                order = jnp.asarray(test_order_fn(g1),
+                                    jnp.int32).reshape(fanout)
+
+                p = top                    # current entry is replaced
+                # children pushed in REVERSE test_order => popped in order
+                for j in range(fanout - 1, -1, -1):
+                    i = order[j]
+                    clo = cuts[i]
+                    chi = cuts[i + 1]
+                    keep = clo < chi
+                    idx = jnp.where(keep, p, S)
+                    kcols = tuple(a.at[idx].set(c[i, 0], mode="drop")
+                                  for a, c in zip(kcols, ccols))
+                    lo_a = lo_a.at[idx].set(clo, mode="drop")
+                    hi_a = hi_a.at[idx].set(chi, mode="drop")
+                    tag_a = tag_a.at[idx].set(0, mode="drop")
+                    stl = tuple(a.at[idx].set(jnp.take(l, i, axis=0)[0],
+                                              mode="drop")
+                                for a, l in zip(stl, cleaves))
+                    p = p + keep.astype(jnp.int32)
+                # ancestors AT this cell fold FIRST (src/layer.rs:214-217):
+                # pushed last = top of stack, with the parent's geometry.
+                keep_a = lo0 < cuts[0]
+                idx = jnp.where(keep_a, p, S)
+                kcols = tuple(a.at[idx].set(e[0], mode="drop")
+                              for a, e in zip(kcols, ek))
+                lo_a = lo_a.at[idx].set(lo0, mode="drop")
+                hi_a = hi_a.at[idx].set(cuts[0], mode="drop")
+                tag_a = tag_a.at[idx].set(1, mode="drop")
+                stl = tuple(a.at[idx].set(l[top], mode="drop")
+                            for a, l in zip(stl, carry[4]))
+                p = p + keep_a.astype(jnp.int32)
+                ovf = ovf | (p > S)
+                sp = jnp.minimum(p, S)
+                return (kcols, lo_a, hi_a, tag_a, stl, sp, nearest, best,
+                        processed, ovf)
+
+            return jax.lax.switch(action, [pop_fn, to_fold_fn, expand_fn],
+                                  carry)
+
+        return jax.lax.cond(tag_a[top] == 1, fold_fn, cell_fn, carry)
+
+    carry = jax.lax.while_loop(cond, body, carry0)
+    _, _, _, _, _, _, nearest, best, _, ovf = carry
+    found = best != jnp.uint32(PAD_ID)
+    dist = jnp.where(found, nearest, jnp.inf)
+    return state, OrderedPickResult(dist, best, found, ovf)
+
+
+# -- ray geometry for the ordered pick ------------------------------------
+#
+# All three callbacks are MODULE-LEVEL and capture-free (the ray rides in
+# the gstate pytree) so repeated picks with different rays hit one jit
+# cache entry — closure-captured arrays would bake into the trace as
+# constants and recompile per query.
+
+def _ray_subdivide(gstate):
+    """Reference ``RayTestGeometry::subdivide`` (``src/geom.rs:551-589`` /
+    ``:617-659``), vectorized over the frontier axis: f32 midpoint
+    halving, per-child slab range narrowing, axis-parallel kill."""
+    cmin, cmax, crmin, crmax, ro, rd = gstate     # (F,d)x2 (F,)x2 (F,d)x2
+    dim = cmin.shape[-1]
+    center = cmin + (cmax - cmin) / jnp.float32(2)
+    dist = (center - ro) / rd                     # (F, dim)
+    fin = jnp.isfinite(dist)
+    mins, maxs, rmins, rmaxs = [], [], [], []
+    for child in range(1 << dim):
+        lo_c, hi_c = crmin, crmax
+        for axis in range(dim):
+            side = bool((child >> axis) & 1)
+            towards = (rd[:, axis] > 0) != side
+            da = dist[:, axis]
+            fa = fin[:, axis]
+            hi_n = jnp.where(fa & towards, jnp.minimum(hi_c, da), hi_c)
+            lo_n = jnp.where(fa & ~towards, jnp.maximum(lo_c, da), lo_c)
+            # axis-parallel kill (src/geom.rs:565-575)
+            kill = ~fa & ((ro[:, axis] > center[:, axis]) != side)
+            lo_c = jnp.where(kill, jnp.inf, lo_n)
+            hi_c = jnp.where(kill, -jnp.inf, hi_n)
+        sidev = jnp.array([bool((child >> a) & 1) for a in range(dim)])
+        mins.append(jnp.where(sidev[None, :], center, cmin))
+        maxs.append(jnp.where(sidev[None, :], cmax, center))
+        rmins.append(lo_c)
+        rmaxs.append(hi_c)
+    rep = lambda x: jnp.broadcast_to(x[None], (1 << dim,) + x.shape)
+    return (jnp.stack(mins), jnp.stack(maxs), jnp.stack(rmins),
+            jnp.stack(rmaxs), rep(ro), rep(rd))
+
+
+def _ray_should_test(gstate, nearest):
+    """``RayTestGeometry::should_test`` (``src/geom.rs:608-610``)."""
+    _, _, crmin, crmax, _, _ = gstate
+    return (crmin < crmax) & (crmin < nearest)
+
+
+def _ray_test_order(gstate):
+    """``RayTestGeometry::test_order`` (``src/geom.rs:591-606`` /
+    ``:661-684``): axes sorted by |direction| ascending; on each axis the
+    child on the ray's origin side is visited first."""
+    rd = gstate[5][0]                              # (dim,) — per-query
+    dim = rd.shape[0]
+    a = jnp.abs(rd)
+    if dim == 2:
+        axes = jnp.where(a[0] <= a[1], jnp.array([0, 1]), jnp.array([1, 0]))
+    else:
+        c01, c02, c12 = a[0] <= a[1], a[0] <= a[2], a[1] <= a[2]
+        axes = jnp.where(
+            c01 & c02,
+            jnp.where(c12, jnp.array([0, 1, 2]), jnp.array([0, 2, 1])),
+            jnp.where(c12,
+                      jnp.where(c02, jnp.array([1, 0, 2]),
+                                jnp.array([1, 2, 0])),
+                      jnp.where(c01, jnp.array([2, 0, 1]),
+                                jnp.array([2, 1, 0]))))
+    dirpos = rd >= 0
+    order = []
+    for cell_src in range(1 << dim):
+        dst = jnp.int32(0)
+        for k in range(dim):
+            axk = axes[k]
+            flip = jnp.bool_((cell_src >> k) & 1) == dirpos[axk]
+            dst = dst + jnp.left_shift(flip.astype(jnp.int32), axk)
+        order.append(dst)
+    return jnp.stack(order)
+
+
+def ray_pick_state(spec: IndexSpec, system_min, system_max, origin,
+                   direction, range_min=0.0, range_max=jnp.inf):
+    """(root_state, subdivide_fn, should_test_fn, test_order_fn) replaying
+    the reference ``RayTestGeometry`` bit-for-bit (``src/geom.rs:459-689``)
+    for :func:`pick_ordered`, including the ``with_system_bounds`` range
+    clamp (``:515-544``).  gstate = (cell_min, cell_max, range_min,
+    range_max, origin, direction); the callbacks are shared module-level
+    functions, so varying the ray does not retrace."""
+    dim = spec.dim
+    smin = jnp.asarray(system_min, jnp.float32).reshape(1, dim)
+    smax = jnp.asarray(system_max, jnp.float32).reshape(1, dim)
+    ro = jnp.asarray(origin, jnp.float32).reshape(dim)
+    rd = jnp.asarray(direction, jnp.float32).reshape(dim)
+    rmin = jnp.float32(range_min)
+    rmax = jnp.float32(range_max)
+
+    d0 = (smin[0] - ro) / rd
+    d1 = (smax[0] - ro) / rd
+    fwd = rd > 0
+    ent = jnp.where(fwd, d0, d1)
+    lev = jnp.where(fwd, d1, d0)
+    rmin = jnp.maximum(rmin,
+                       jnp.max(jnp.where(jnp.isfinite(ent), ent, -jnp.inf)))
+    rmax = jnp.minimum(rmax,
+                       jnp.min(jnp.where(jnp.isfinite(lev), lev, jnp.inf)))
+    root = (smin, smax, rmin[None], rmax[None], ro[None, :], rd[None, :])
+    return root, _ray_subdivide, _ray_should_test, _ray_test_order
+
+
+# -- box geometry for the ordered pick ------------------------------------
+
+def _box_pick_subdivide(gstate):
+    cmin, cmax, qmin, qmax = gstate
+    dim = cmin.shape[-1]
+    center = cmin + (cmax - cmin) / jnp.float32(2)
+    mins, maxs = [], []
+    for child in range(1 << dim):
+        sidev = jnp.array([bool((child >> a) & 1) for a in range(dim)])
+        mins.append(jnp.where(sidev[None, :], center, cmin))
+        maxs.append(jnp.where(sidev[None, :], cmax, center))
+    rep = lambda x: jnp.broadcast_to(x[None], (1 << dim,) + x.shape)
+    return (jnp.stack(mins), jnp.stack(maxs), rep(qmin), rep(qmax))
+
+
+def _box_pick_should_test(gstate, nearest):
+    cmin, cmax, qmin, qmax = gstate
+    return jnp.all((cmin <= qmax) & (cmax >= qmin), axis=-1)
+
+
+def _box_pick_test_order(gstate):
+    fanout = 1 << gstate[0].shape[-1]
+    return jnp.arange(fanout, dtype=jnp.int32)
+
+
+def box_pick_state(spec: IndexSpec, system_min, system_max,
+                   test_min, test_max):
+    """Ordered-pick state for ``BoxTestGeometry`` (``src/geom.rs:352-455``):
+    identity test_order, overlap-only should_test (the reference's box
+    geometry ignores ``nearest`` — no distance early-out, matching).
+    gstate = (cell_min, cell_max, test_min, test_max)."""
+    dim = spec.dim
+    smin = jnp.asarray(system_min, jnp.float32).reshape(1, dim)
+    smax = jnp.asarray(system_max, jnp.float32).reshape(1, dim)
+    qmin = jnp.asarray(test_min, jnp.float32).reshape(1, dim)
+    qmax = jnp.asarray(test_max, jnp.float32).reshape(1, dim)
+    root = (smin, smax, qmin, qmax)
+    return root, _box_pick_subdivide, _box_pick_should_test, \
+        _box_pick_test_order
+
+
+@functools.lru_cache(maxsize=64)
+def _ray_gd_adapter(user_fn):
+    """Stable (per user_fn) geometry-dropping adapter so repeated
+    pick_ray_ordered calls reuse one jit cache entry."""
+    return lambda gstate, nearest, oid, *args: user_fn(nearest, oid, *args)
+
+
+def pick_ray_ordered(spec: IndexSpec, state: LayerState, system_min,
+                     system_max, origin, direction, max_distance,
+                     get_dist_fn: Callable, get_dist_args=(),
+                     max_depth: Optional[int] = None, stack_cap: int = 256
+                     ) -> Tuple[LayerState, OrderedPickResult, jnp.ndarray]:
+    """``Layer::pick_ray`` (``src/layer.rs:417-446``) with exact ordered
+    semantics: range [0, max_distance] ray geometry, ``get_dist_fn(nearest,
+    obj_id, *args)`` (the reference's closure never sees the cell
+    geometry), hit point ``origin + direction * distance`` (NaN when not
+    found)."""
+    root, sub, st, to = ray_pick_state(spec, system_min, system_max,
+                                       origin, direction, 0.0, max_distance)
+    gd = _ray_gd_adapter(get_dist_fn)
+    state, res = pick_ordered(spec, state, root, sub, st, to, gd,
+                              max_distance=max_distance,
+                              get_dist_args=get_dist_args,
+                              max_depth=max_depth, stack_cap=stack_cap)
+    ro = jnp.asarray(origin, jnp.float32)
+    rd = jnp.asarray(direction, jnp.float32)
+    point = jnp.where(res.found, ro + rd * res.distance, jnp.nan)
+    return state, res, point
 
 
 # ---------------------------------------------------------------------------
