@@ -182,19 +182,24 @@ def pick_generic(spec: IndexSpec, state: LayerState, root_state,
                  get_dist: Callable, max_distance=jnp.inf,
                  get_dist_args=(), frontier_cap: int = 1024,
                  max_depth: Optional[int] = None
-                 ) -> Tuple[LayerState, PickResult]:
+                 ) -> Tuple[LayerState, "OrderedPickResult"]:
     """Arbitrary-geometry nearest query (``Layer::pick``,
     ``src/layer.rs:364-404``): distance argmin of ``get_dist(ids, mask,
     *get_dist_args)`` over the candidates the pruning walk reports.
     Requires the consistency contract in the module docstring; ties break
-    to the lowest id."""
+    to the lowest id.  The result carries the frontier-overflow flag — an
+    overflowed walk may have dropped candidates, so the pick is only
+    trustworthy when ``overflow`` is False (never silent, per the
+    fixed-capacity contract)."""
     state = sort(spec, state)
-    mask, _ovf = _traverse_mask(spec, state, root_state, subdivide_fn,
-                                should_test_fn, frontier_cap, max_depth)
+    mask, ovf = _traverse_mask(spec, state, root_state, subdivide_fn,
+                               should_test_fn, frontier_cap, max_depth)
     md = jnp.float32(max_distance)
     d = jnp.asarray(get_dist(state.ids, mask, *get_dist_args), jnp.float32)
     d = jnp.where(jnp.isfinite(d) & mask, d, jnp.inf)
-    return state, _argmin_pick(d, state.ids, md)
+    res = _argmin_pick(d, state.ids, md)
+    return state, OrderedPickResult(res.distance, res.obj_id, res.found,
+                                    ovf)
 
 
 # ---------------------------------------------------------------------------
