@@ -250,3 +250,94 @@ def test_pick_ordered_empty_and_miss():
     state2, got2 = traverse.pick_ordered(spec, state2, root, sub, st, to,
                                          _high_gd, max_distance=10.0)
     assert not bool(got2.found)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial fuzz: custom geometry stressing exactly the ordered contract
+# ---------------------------------------------------------------------------
+
+class _WeirdOracleGeometry(oracle.BoxTestGeometry):
+    """Box overlap + depth-PERMUTED test_order + nearest-DEPENDENT
+    should_test: the two places where a traversal-order bug hides."""
+
+    def __init__(self, cell_min, cell_max, test_min, test_max, depth=0):
+        super().__init__(cell_min, cell_max, test_min, test_max)
+        self.depth = depth
+
+    def subdivide(self):
+        out = []
+        for g in super().subdivide():
+            out.append(_WeirdOracleGeometry(g.cell_min, g.cell_max,
+                                            self.test_min, self.test_max,
+                                            self.depth + 1))
+        return out
+
+    def test_order(self):
+        fanout = 1 << self.dim
+        mult = 5 if fanout == 8 else 3          # coprime => permutation
+        return [(mult * j + self.depth) % fanout for j in range(fanout)]
+
+    def should_test(self, nearest):
+        ext = np.float32(np.max(self.cell_max - self.cell_min))
+        return (bool(np.all(self.cell_min <= self.test_max)
+                     and np.all(self.cell_max >= self.test_min))
+                and nearest > float(ext * np.float32(0.25)))
+
+
+def _weird_subdivide(gstate):
+    cmin, cmax, qmin, qmax, depth = gstate
+    dim = cmin.shape[-1]
+    center = cmin + (cmax - cmin) / jnp.float32(2)
+    mins, maxs = [], []
+    for child in range(1 << dim):
+        sidev = jnp.array([bool((child >> a) & 1) for a in range(dim)])
+        mins.append(jnp.where(sidev[None, :], center, cmin))
+        maxs.append(jnp.where(sidev[None, :], cmax, center))
+    rep = lambda x: jnp.broadcast_to(x[None], (1 << dim,) + x.shape)
+    return (jnp.stack(mins), jnp.stack(maxs), rep(qmin), rep(qmax),
+            rep(depth) + 1)
+
+
+def _weird_should_test(gstate, nearest):
+    cmin, cmax, qmin, qmax, _ = gstate
+    overlap = jnp.all((cmin <= qmax) & (cmax >= qmin), axis=-1)
+    ext = jnp.max(cmax - cmin, axis=-1)
+    return overlap & (nearest > ext * jnp.float32(0.25))
+
+
+def _weird_test_order(gstate):
+    dim = gstate[0].shape[-1]
+    fanout = 1 << dim
+    mult = 5 if fanout == 8 else 3
+    depth = gstate[4][0]
+    return (mult * jnp.arange(fanout, dtype=jnp.int32) + depth) % fanout
+
+
+@pytest.mark.parametrize("spec", [Index32_2D, Index64_3D],
+                         ids=lambda s: s.name)
+def test_pick_ordered_weird_geometry_fuzz(spec):
+    rng = np.random.default_rng(97)
+    for scene_seed in (101, 103):
+        smin, smax, bmin, bmax, ids = _scene(spec, 150, seed=scene_seed)
+        state, keys, tids = _built_layer(spec, smin, smax, bmin, bmax, ids)
+        for trial in range(4):
+            qmin = rng.uniform(-50, 20, spec.dim).astype(np.float32)
+            qmax = qmin + rng.uniform(5, 60, spec.dim).astype(np.float32)
+            root = (jnp.asarray(smin).reshape(1, -1),
+                    jnp.asarray(smax).reshape(1, -1),
+                    jnp.asarray(qmin).reshape(1, -1),
+                    jnp.asarray(qmax).reshape(1, -1),
+                    jnp.zeros((1,), jnp.int32))
+            state, got = traverse.pick_ordered(
+                spec, state, root, _weird_subdivide, _weird_should_test,
+                _weird_test_order, _hash_gd, max_distance=100.0)
+            assert not bool(got.overflow)
+
+            geom = _WeirdOracleGeometry(smin, smax, qmin, qmax)
+            want = oracle.run_pick(spec, keys, tids, geom, 100.0, _hash_cb)
+            if want is None:
+                assert not bool(got.found), (scene_seed, trial)
+            else:
+                assert bool(got.found), (scene_seed, trial)
+                assert int(got.obj_id) == want[1], (scene_seed, trial)
+                assert float(got.distance) == np.float32(want[0])
