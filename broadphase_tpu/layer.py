@@ -764,11 +764,71 @@ def _finish_pairs(a, b, valid, pair_capacity: int, emit_capacity: int,
     return ScanResult(out_a, out_b, pair_count, overflow)
 
 
+def _drop_nested_same_id(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
+                         count: jnp.ndarray):
+    """The reference sweep's id-on-stack skip (``src/layer.rs:563-565``) as
+    a data-parallel pre-pass over a SORTED tree.
+
+    An entry is on the stack when element p is visited iff it is an
+    ancestor-or-equal cell of p's — i.e. an earlier q (keys sorted) with
+    ``key_p <= descendant_max(key_q)``.  Nesting of non-skipped same-id
+    entries is impossible (a non-skipped entry has no same-id ancestor),
+    so the rule is non-recursive: drop p iff ANY earlier same-id q has
+    ``descendant_max(key_q) >= key_p``.  Computed by grouping entries by
+    id (one variadic sort; key-ascending within a group = tree order) and
+    taking a segmented running max of descendant_max via log-doubling.
+
+    Returns (keys, ids, count) with skipped entries compacted away (order
+    preserved — compaction keeps the tree sorted).
+    """
+    cap = ids.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    live = idx < count
+    kcols = bidx.sort_operands(spec, keys)
+    dmcols = bidx.sort_operands(spec, bidx.descendant_max(spec, keys))
+    nc = len(kcols)
+    ids_g = jnp.where(live, ids, PAD_ID)
+    pos = jnp.arange(cap, dtype=jnp.uint32)
+    out = jax.lax.sort((ids_g,) + kcols + dmcols + (pos,),
+                       num_keys=1 + nc)
+    ids_s = out[0]
+    dms = list(out[1 + nc:1 + 2 * nc])
+    pos_s = out[1 + 2 * nc]
+
+    def _roll_cols(cols, s):
+        return [jnp.roll(c, s) for c in cols]
+
+    # inclusive segmented (per id-group) running max of descendant_max
+    M = dms
+    s = 1
+    while s < cap:
+        same = (idx >= s) & (ids_s == jnp.roll(ids_s, s))
+        cand = _roll_cols(M, s)
+        take = same & bidx.key_lt(spec, bidx.key_from_columns(spec, M),
+                                  bidx.key_from_columns(spec, cand))
+        M = [jnp.where(take, c, m) for c, m in zip(cand, M)]
+        s <<= 1
+    # exclusive view: the max over STRICTLY earlier same-id entries
+    seg = (idx >= 1) & (ids_s == jnp.roll(ids_s, 1))
+    prevM = bidx.key_from_columns(spec, _roll_cols(M, 1))
+    key_s = bidx.key_from_columns(spec, out[1:1 + nc])
+    skip_s = seg & ~bidx.key_lt(spec, prevM, key_s)   # prev dm >= key
+    skip = jnp.zeros((cap,), jnp.bool_).at[pos_s].set(skip_s)
+
+    keep = live & ~skip
+    from .ops.compact import stable_compact
+    fills = tuple(jnp.uint32(0xFFFF_FFFF) for _ in range(nc)) + (PAD_ID,)
+    compacted, kept = stable_compact(keep, kcols + (ids,), fills)
+    return (bidx.key_from_columns(spec, compacted[:nc]), compacted[nc],
+            jnp.minimum(kept, count).astype(count.dtype))
+
+
 def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
                count: jnp.ndarray, pair_capacity: int,
                filter_fn=None, extra_overflow=None,
                aux: Optional[jnp.ndarray] = None,
-               emit_capacity: Optional[int] = None) -> ScanResult:
+               emit_capacity: Optional[int] = None,
+               nested_ids: bool = False) -> ScanResult:
     """Data-parallel pair expansion over a *sorted* (keys, ids) array.
 
     Shared by the single-chip :func:`scan` and the multi-chip sharded scan
@@ -782,6 +842,15 @@ def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
     ``emit_capacity`` (default: ``pair_capacity``) bounds raw emissions.
     Without aux (or ids too wide to pack) every emission survives to the
     sort, and ``pair_capacity`` must be sized for emissions as before.
+
+    ``nested_ids`` (static): set True when the SAME id may occupy nested
+    cells — double-extends of one id at different sizes, or merged layers
+    sharing ids.  The reference sweep skips an element whose id is already
+    on the stack (``src/layer.rs:563-565``); this flag applies that rule
+    as a pre-pass (one extra tree-length sort + compaction) and degrades
+    emit-once to keep-all (partial blocks invalidate the aux bits), so
+    size ``pair_capacity`` for raw emissions.  With unique ids per layer
+    the rule can never fire — the default skips the cost.
     """
     cap = ids.shape[0]
     emit_cap = int(emit_capacity) if emit_capacity is not None \
@@ -791,6 +860,9 @@ def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
         empty = jnp.full((pair_capacity,), PAD_ID, jnp.uint32)
         ovf = jnp.bool_(False) if extra_overflow is None else extra_overflow
         return ScanResult(empty, empty, jnp.int32(0), ovf)
+    if nested_ids:
+        keys, ids, count = _drop_nested_same_id(spec, keys, ids, count)
+        aux = None      # partial same-id blocks: emit-once bits now stale
 
     # Pass 1 — per-element descendant-run length.
     # In Morton order, the partners of element j are exactly the elements in
@@ -906,19 +978,21 @@ def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
 
 
 def _scan_core(spec: IndexSpec, state: LayerState, pair_capacity: int,
-               filter_fn, emit_capacity: Optional[int] = None
+               filter_fn, emit_capacity: Optional[int] = None,
+               nested_ids: bool = False
                ) -> Tuple[LayerState, ScanResult]:
     state = sort(spec, state)
     result = scan_pairs(spec, state.keys, state.ids, state.count,
                         pair_capacity, filter_fn,
                         extra_overflow=state.overflow,
-                        aux=state.aux, emit_capacity=emit_capacity)
+                        aux=state.aux, emit_capacity=emit_capacity,
+                        nested_ids=nested_ids)
     return state, result
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def scan(spec: IndexSpec, state: LayerState, pair_capacity: int,
-         emit_capacity: Optional[int] = None
+         emit_capacity: Optional[int] = None, nested_ids: bool = False
          ) -> Tuple[LayerState, ScanResult]:
     """All-pairs candidate collision scan (reference ``src/layer.rs:449-477``).
 
@@ -928,18 +1002,26 @@ def scan(spec: IndexSpec, state: LayerState, pair_capacity: int,
     ``pair_capacity`` bounds the OUTPUT pair list.  ``emit_capacity``
     (optional, >= pair_capacity) bounds raw cell-pair emissions before the
     emit-once dedup; splitting them lets the canonical sort run over the
-    (much smaller) unique-pair budget.  Default: both equal."""
-    return _scan_core(spec, state, pair_capacity, None, emit_capacity)
+    (much smaller) unique-pair budget.  Default: both equal.
+
+    ``nested_ids``: pass True when one id may occupy NESTED cells (a
+    double-extended id, merged layers sharing ids) — applies the reference
+    sweep's id-on-stack skip (see :func:`scan_pairs`); size
+    ``pair_capacity`` for raw emissions in that mode."""
+    return _scan_core(spec, state, pair_capacity, None, emit_capacity,
+                      nested_ids)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
 def scan_filtered(spec: IndexSpec, state: LayerState, pair_capacity: int,
-                  filter_fn: Callable, emit_capacity: Optional[int] = None
+                  filter_fn: Callable, emit_capacity: Optional[int] = None,
+                  nested_ids: bool = False
                   ) -> Tuple[LayerState, ScanResult]:
     """scan with a user predicate applied before dedup
     (reference ``src/layer.rs:460-477``).  ``filter_fn(a_ids, b_ids)`` must be
     a traceable vectorized function returning a bool mask."""
-    return _scan_core(spec, state, pair_capacity, filter_fn, emit_capacity)
+    return _scan_core(spec, state, pair_capacity, filter_fn, emit_capacity,
+                      nested_ids)
 
 
 # parallel scan is the same kernel on TPU (determinism comes from the

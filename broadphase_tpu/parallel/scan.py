@@ -94,7 +94,8 @@ def make_sharded_step(spec: IndexSpec, mesh: Mesh, axis_name: str,
                       *, min_depth: int = 0, slots_per_axis: int = 2,
                       bucket_capacity: int, pair_capacity: int,
                       exchange_capacity: Optional[int] = None,
-                      filter_fn: Optional[Callable] = None):
+                      filter_fn: Optional[Callable] = None,
+                      nested_ids: bool = False):
     """Build a jitted sharded step:
     ``fn(system_min, system_max, bounds_min, bounds_max, ids) -> ShardedScanResult``.
 
@@ -103,6 +104,12 @@ def make_sharded_step(spec: IndexSpec, mesh: Mesh, axis_name: str,
     ``exchange_capacity`` are *per-device* buffer sizes (exchange_capacity
     bounds one device's share of the deduped pair list and defaults to
     ``pair_capacity``).
+
+    ``nested_ids`` applies the reference sweep's id-on-stack skip
+    (``layer.scan_pairs``) per shard; the min_depth boundary rule makes
+    that exact — an ancestor chain shares its descendants' top-B key bits
+    once element depth >= ceil(log2(n_dev)/dim), so same-id nestings never
+    straddle devices.
     """
     n_dev = mesh.shape[axis_name]
     B = (n_dev - 1).bit_length() if n_dev > 1 else 0
@@ -195,7 +202,8 @@ def make_sharded_step(spec: IndexSpec, mesh: Mesh, axis_name: str,
 
         local_ovf = jnp.any(cell_ovf & contained) | route_ovf
         res = scan_pairs(spec, skeys, sids, count, pair_capacity,
-                         filter_fn, extra_overflow=local_ovf, aux=saux)
+                         filter_fn, extra_overflow=local_ovf, aux=saux,
+                         nested_ids=nested_ids)
 
         # --- global dedup: route pairs to the a%n_dev owner so duplicates
         # collide on one device, then canonical sort+dedup locally ----------

@@ -141,3 +141,26 @@ def test_min_depth_for_devices():
     assert min_depth_for_devices(Index64_3D, 16) == 2
     assert min_depth_for_devices(Index32_2D, 8) == 2
     assert min_depth_for_devices(Index32_2D, 16) == 2
+
+
+def test_sharded_scan_nested_ids():
+    """Duplicate ids at mixed sizes across shards: nested_ids applies the
+    reference sweep's id-on-stack skip per shard (exact under the
+    min_depth boundary rule — same-id nestings never straddle devices)."""
+    spec = Index64_3D
+    devices = np.array(jax.devices()[:4])
+    mesh = Mesh(devices, ("objects",))
+    n = 256
+    smin, smax, bmin, bmax, _ = _scene(spec, n, seed=11, smax_size=30.0)
+    rng = np.random.default_rng(13)
+    ids = rng.integers(0, n // 2, size=n).astype(np.uint32)
+
+    step = make_sharded_step(spec, mesh, "objects",
+                             bucket_capacity=8 * n, pair_capacity=64 * n,
+                             nested_ids=True)
+    res = step(smin, smax, bmin, bmax, ids)
+    assert not bool(res.overflow)
+    got = gather_pairs(res)
+    md = min_depth_for_devices(spec, 4)
+    want = _oracle_pairs(spec, smin, smax, bmin, bmax, ids, md)
+    assert got == want
