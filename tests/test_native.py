@@ -126,3 +126,32 @@ def test_fuzz_many_seeds_device_vs_native():
         nk, ni = native.sort_tree(nk, ni)
         want = [(int(a), int(b)) for a, b in native.scan_seq(nk, ni)]
         assert got == want, f"seed {seed}: {len(got)} vs {len(want)}"
+
+
+def test_nested_dup_ids_three_way_parity():
+    """Duplicate ids at mixed sizes (the sweep's id-on-stack skip,
+    src/layer.rs:563-565): Python oracle, C++ sweep, and the device scan
+    with nested_ids=True must agree pair-for-pair."""
+    rng = np.random.default_rng(31)
+    n = 500
+    smin = np.zeros(3, np.float32)
+    smax = np.full(3, 200.0, np.float32)
+    size = rng.uniform(0.5, 40.0, size=(n, 3)).astype(np.float32)
+    bmin = rng.uniform(0, 160, size=(n, 3)).astype(np.float32)
+    bmax = bmin + size
+    ids = rng.integers(0, n // 3, size=n).astype(np.uint32)
+
+    pk, pi, _ = oracle.extend(SPEC, smin, smax, bmin, bmax, ids)
+    pk, pi = oracle.sort_tree(pk, pi)
+    want = oracle.scan(SPEC, pk, pi)
+
+    nk, ni, _ = native.extend(smin, smax, bmin, bmax, ids)
+    nk, ni = native.sort_tree(nk, ni)
+    npairs = [(int(a), int(b)) for a, b in native.scan_seq(nk, ni)]
+    assert npairs == want
+
+    st = layer.build(SPEC, smin, smax, bmin, bmax, ids)
+    st, res = layer.scan(SPEC, st, pair_capacity=256 * n, nested_ids=True)
+    assert not bool(res.overflow)
+    got = layer.scan_result_to_numpy(res)
+    assert got == [(int(a), int(b)) for a, b in want]
