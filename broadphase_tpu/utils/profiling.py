@@ -68,3 +68,23 @@ def device_memory_stats(device=None) -> Optional[Dict[str, int]]:
         "peak_bytes_in_use": int(s.get("peak_bytes_in_use", 0)),
         "bytes_limit": int(s.get("bytes_limit", 0)),
     }
+
+
+def compiled_memory_analysis(jitted_fn, *args, **kwargs):
+    """Compiler-planned buffer budget of one jitted call — the TPU analog
+    of the reference's counting global allocator (``examples/main.rs:
+    38-104``): on TPU every allocation is planned at compile time, so the
+    regression-sensitive numbers are the XLA temp/output/argument byte
+    sizes, not runtime call counts.  Returns None when the backend does
+    not expose a memory analysis."""
+    comp = jitted_fn.lower(*args, **kwargs).compile()
+    ma = comp.memory_analysis()
+    if ma is None:
+        return None
+    out = {}
+    for k in ("temp_size_in_bytes", "argument_size_in_bytes",
+              "output_size_in_bytes", "alias_size_in_bytes",
+              "generated_code_size_in_bytes"):
+        if hasattr(ma, k):
+            out[k] = int(getattr(ma, k))
+    return out or None

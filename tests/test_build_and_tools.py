@@ -163,3 +163,37 @@ def test_scan_auto_grows_until_fit():
     assert not bool(res.overflow)
     _, ref = layer.scan(spec, st, 64 * 1024)
     assert layer.scan_result_to_numpy(res) == layer.scan_result_to_numpy(ref)
+
+
+def test_compiled_memory_budget_regression():
+    """Allocation-regression metric (the reference's counting allocator,
+    examples/main.rs:38-104, reimagined for compiler-planned memory):
+    XLA's temp budget for the 100k bench-shaped scan step must stay
+    within bounds — a silently doubled buffer (e.g. a lost in-place
+    reuse, an accidental extra copy of the emit buffer) trips this
+    before it trips the TPU HBM limit at 1M."""
+    from broadphase_tpu import bench_caps
+    from broadphase_tpu.utils.profiling import compiled_memory_analysis
+
+    spec = Index64_3D
+    rng = np.random.default_rng(5)
+    n = 100_000
+    smin = np.zeros(3, np.float32)
+    smax = np.full(3, 1000.0, np.float32)
+    bmin = rng.uniform(0, 990, (n, 3)).astype(np.float32)
+    bmax = bmin + rng.uniform(1, 10, (n, 3)).astype(np.float32)
+    ids = np.arange(n, dtype=np.uint32)
+    st = layer.build(spec, smin, smax, bmin, bmax, ids,
+                     out_capacity=bench_caps.tree_capacity(n))
+    ma = compiled_memory_analysis(layer.scan, spec, st,
+                                  bench_caps.pair_capacity(n),
+                                  bench_caps.emit_capacity(n))
+    if ma is None:
+        pytest.skip("backend exposes no memory analysis")
+    # measured 423 MB on the CPU backend (2026-08); generous headroom for
+    # XLA drift, tight enough that a doubled major buffer (+160 MB for a
+    # stray emit-buffer copy) fails
+    assert ma["temp_size_in_bytes"] < 560 * 1024 * 1024, ma
+    # inputs/outputs are fixed by the capacity contract, not XLA's whims
+    assert ma["argument_size_in_bytes"] < 8 * 1024 * 1024, ma
+    assert ma["output_size_in_bytes"] < 16 * 1024 * 1024, ma
