@@ -55,6 +55,8 @@ def cmd_show(args) -> None:
                   f"{sc.layer.ids[i]}")
     if args.png:
         _render_png(sc, args.png, args.select)
+    if args.html:
+        _render_html(sc, args.html)
 
 
 def _render_png(sc, path: str, select: int = -1) -> None:
@@ -102,6 +104,195 @@ def _render_png(sc, path: str, select: int = -1) -> None:
                 fill=False, linewidth=1.0, edgecolor="tab:green"))
     fig.savefig(path, dpi=120, bbox_inches="tight")
     print(f"wrote {path}")
+
+
+def _render_html(sc, path: str) -> None:
+    """Self-contained interactive scene inspector (XY projection).
+
+    The headless-environment analog of the reference's glium GUI
+    (``utils/src/gen_test_data.rs:171-738``): click a cell to select it
+    (click again to CYCLE through overlapping cells under the cursor,
+    the GUI's selection cycling), and scrub the step slider to replay
+    the sequential stack sweep live (``examples/main.rs:898-1028``) —
+    the sweep is re-run in the page from embedded per-element events, so
+    any step is reachable.  No network, no dependencies: one HTML file.
+    """
+    import json
+
+    from ..index import Index64_3D
+    from ..utils import oracle
+
+    spec = Index64_3D
+    if len(sc.layer.ids):
+        keys = [int(k) for k in sc.layer.keys]
+        tids = [int(i) for i in sc.layer.ids]
+        if not sc.layer.sorted:
+            keys, tids = oracle.sort_tree(keys, tids)
+    else:
+        keys, tids, _ = oracle.extend(spec, sc.system_min, sc.system_max,
+                                      sc.bounds_min, sc.bounds_max, sc.ids)
+        keys, tids = oracle.sort_tree(keys, tids)
+    n = len(keys)
+    if n > 50_000:
+        print(f"warning: {n} tree entries — the HTML will be large")
+
+    def cell_rect(k):
+        depth = oracle.depth_of(spec, k)
+        origin = oracle.origin_of(spec, k)
+        if depth == 0:
+            lo, hi = [0, 0], [0xFFFF_FFFF] * 2
+        else:
+            scale = oracle.scale_at_depth(depth)
+            lo = list(origin[:2])
+            hi = [o + scale - 1 for o in origin[:2]]
+        glo = oracle.to_global(sc.system_min, sc.system_max,
+                               np.array(lo + [0], np.uint32))
+        ghi = oracle.to_global(sc.system_min, sc.system_max,
+                               np.array(hi + [0], np.uint32))
+        return [float(glo[0]), float(glo[1]),
+                float(ghi[0]), float(ghi[1])]
+
+    # replay the sweep (src/layer.rs:550-573) recording per-element events
+    stack = []                    # element indices
+    events = []
+    for i in range(n):
+        pops = 0
+        while stack and not oracle.overlaps(spec, keys[i], keys[stack[-1]]):
+            stack.pop()
+            pops += 1
+        skipped = any(tids[j] == tids[i] for j in stack)
+        partners = [] if skipped else \
+            [j for j in stack if tids[j] != tids[i]]
+        events.append([pops, int(skipped), partners])
+        if not skipped:
+            stack.append(i)
+
+    data = {
+        "sys": [float(sc.system_min[0]), float(sc.system_min[1]),
+                float(sc.system_max[0]), float(sc.system_max[1])],
+        "objs": [[int(sc.ids[i]),
+                  float(sc.bounds_min[i, 0]), float(sc.bounds_min[i, 1]),
+                  float(sc.bounds_max[i, 0]), float(sc.bounds_max[i, 1])]
+                 for i in range(len(sc.ids))],
+        "cells": [[tids[i], cell_rect(keys[i]),
+                   f"{keys[i]:#018x}", oracle.depth_of(spec, keys[i])]
+                  for i in range(n)],
+        "events": events,
+    }
+    html = _HTML_TEMPLATE.replace("__DATA__", json.dumps(data))
+    with open(path, "w") as f:
+        f.write(html)
+    print(f"wrote {path} ({n} cells, {len(sc.ids)} objects)")
+
+
+_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>broadphase_tpu inspector</title>
+<style>
+ body{font:13px sans-serif;margin:0;display:flex;height:100vh}
+ #view{flex:1}
+ #side{width:300px;padding:10px;overflow:auto;border-left:1px solid #ccc}
+ svg{width:100%;height:100%;background:#fafafa}
+ .obj{fill:none;stroke:#9ab;stroke-width:1;vector-effect:non-scaling-stroke}
+ .cell{stroke:#678;stroke-width:.5;cursor:pointer;
+       vector-effect:non-scaling-stroke}
+ .pending{fill:#4878d0;fill-opacity:.25}
+ .stack{fill:#2ca02c;fill-opacity:.55}
+ .dropped{fill:#999;fill-opacity:.3}
+ .current{fill:#d62728;fill-opacity:.8}
+ .partner{fill:#ff7f0e;fill-opacity:.8}
+ .skipped{fill:#9467bd;fill-opacity:.7}
+ .selected{stroke:#000;stroke-width:.4}
+ #bar{position:absolute;left:10px;top:8px;background:#fffc;padding:6px;
+      border:1px solid #ccc;border-radius:4px}
+ input[type=range]{width:320px;vertical-align:middle}
+</style></head><body>
+<div id="view">
+ <div id="bar">
+  step <input id="step" type="range" min="0" value="0">
+  <span id="stepn"></span>
+  <button onclick="bump(-1)">-1</button><button onclick="bump(1)">+1</button>
+ </div>
+ <svg id="svg" preserveAspectRatio="xMidYMid meet"></svg>
+</div>
+<div id="side"><h3>broadphase_tpu inspector</h3>
+ <p>Scrub the slider to replay the stack sweep
+ (green&nbsp;stack, red&nbsp;current, orange&nbsp;partners,
+ purple&nbsp;skipped&nbsp;dup-id, grey&nbsp;dropped).
+ Click a cell to select; click the same spot again to cycle through
+ overlapping cells.</p><div id="info">nothing selected</div></div>
+<script>
+const D = __DATA__;
+const svg = document.getElementById("svg");
+const [sx0, sy0, sx1, sy1] = D.sys;
+svg.setAttribute("viewBox", `${sx0} ${sy0} ${sx1-sx0} ${sy1-sy0}`);
+const NS = "http://www.w3.org/2000/svg";
+function rect(x0,y0,x1,y1,cls){
+  const r = document.createElementNS(NS, "rect");
+  r.setAttribute("x",x0); r.setAttribute("y",y0);
+  r.setAttribute("width",Math.max(x1-x0,1e-6));
+  r.setAttribute("height",Math.max(y1-y0,1e-6));
+  r.setAttribute("class",cls); svg.appendChild(r); return r;
+}
+for (const [,x0,y0,x1,y1] of D.objs) rect(x0,y0,x1,y1,"obj");
+const cellEls = D.cells.map(([id,[x0,y0,x1,y1]]) => rect(x0,y0,x1,y1,"cell pending"));
+const n = D.cells.length;
+const slider = document.getElementById("step");
+slider.max = n;
+let selected = -1, lastPt = null, cycle = 0;
+function stateAt(step){  // replay events 0..step-1
+  const role = new Array(n).fill("pending"); const stack = [];
+  for (let i = 0; i < step; i++){
+    const [pops, skipped, partners] = D.events[i];
+    for (let p = 0; p < pops; p++) role[stack.pop()] = "dropped";
+    if (i === step-1) for (const j of partners) role[j] = "partner";
+    if (skipped) role[i] = "skipped";
+    else { stack.push(i); role[i] = i === step-1 ? "current" : "stack"; }
+  }
+  for (const j of stack) if (role[j] !== "current" && role[j] !== "partner")
+    role[j] = "stack";
+  return role;
+}
+function redraw(){
+  const step = +slider.value;
+  document.getElementById("stepn").textContent = `${step}/${n}`;
+  const role = stateAt(step);
+  cellEls.forEach((el,i) => {
+    el.setAttribute("class",
+      "cell " + role[i] + (i === selected ? " selected" : ""));
+  });
+}
+function bump(d){ slider.value = Math.min(n, Math.max(0, +slider.value + d));
+                  redraw(); }
+slider.addEventListener("input", redraw);
+svg.addEventListener("click", ev => {
+  const pt = svg.createSVGPoint(); pt.x = ev.clientX; pt.y = ev.clientY;
+  const p = pt.matrixTransform(svg.getScreenCTM().inverse());
+  const hits = [];
+  D.cells.forEach(([id,[x0,y0,x1,y1]],i) => {
+    if (p.x >= x0 && p.x <= x1 && p.y >= y0 && p.y <= y1) hits.push(i);
+  });
+  if (!hits.length){ selected = -1; redraw(); return; }
+  const same = lastPt && Math.abs(p.x-lastPt.x) < 1e-9 &&
+               Math.abs(p.y-lastPt.y) < 1e-9;
+  cycle = same ? (cycle + 1) % hits.length : 0;
+  lastPt = p; selected = hits[cycle];
+  const [id, box, key, depth] = D.cells[selected];
+  // final-state partners of this id, aggregated from every emission
+  const ids = new Set();
+  D.events.forEach(([,,partners],i) => {
+    const a = D.cells[i][0];
+    for (const j of partners){ const b = D.cells[j][0];
+      if (a === id) ids.add(b); if (b === id) ids.add(a); }
+  });
+  document.getElementById("info").innerHTML =
+    `<b>cell ${selected}</b> (click again to cycle ${hits.length})<br>` +
+    `object id ${id}<br>key ${key}<br>depth ${depth}<br>` +
+    `collides with: ${[...ids].sort((a,b)=>a-b).join(", ") || "nothing"}`;
+  redraw();
+});
+redraw();
+</script></body></html>
+"""
 
 
 def cmd_gen_validation_data(args) -> None:
@@ -164,6 +355,9 @@ def main(argv=None) -> int:
     s.add_argument("--verbose", action="store_true")
     s.add_argument("--limit", type=int, default=20)
     s.add_argument("--png", default=None)
+    s.add_argument("--html", default=None,
+                   help="write a self-contained interactive inspector "
+                        "(selection cycling + live sweep stepping)")
     s.add_argument("--select", type=int, default=-1)
     s.set_defaults(fn=cmd_show)
 

@@ -197,3 +197,37 @@ def test_compiled_memory_budget_regression():
     # inputs/outputs are fixed by the capacity contract, not XLA's whims
     assert ma["argument_size_in_bytes"] < 8 * 1024 * 1024, ma
     assert ma["output_size_in_bytes"] < 16 * 1024 * 1024, ma
+
+
+def test_show_html_inspector(tmp_path):
+    """`show --html` (the reference GUI's headless analog): the embedded
+    sweep-event stream must reproduce the oracle pair set exactly, and
+    the file must be self-contained (no external refs)."""
+    import json
+    import re
+
+    from broadphase_tpu.tools.__main__ import main as tools_main
+    from broadphase_tpu.utils import gen, oracle, scene as sio
+
+    scene_p = tmp_path / "s.br_scene"
+    html_p = tmp_path / "s.html"
+    sc = gen.gen_boxes(count=80, density=1.0 / 1000.0, seed=9)
+    sio.save(str(scene_p), sc)
+    rc = tools_main(["show", str(scene_p), "--html", str(html_p)])
+    assert rc == 0 and html_p.exists()
+    src = html_p.read_text()
+    assert "http://" not in src.replace("http://www.w3.org/2000/svg", "")
+    d = json.loads(re.search(r"const D = (\{.*?\});\n", src, re.S).group(1))
+    pairs = set()
+    for i, (_pops, _skipped, partners) in enumerate(d["events"]):
+        a = d["cells"][i][0]
+        for j in partners:
+            b = d["cells"][j][0]
+            pairs.add((max(a, b), min(a, b)))
+    pk, pi, _ = oracle.extend(Index64_3D, sc.system_min, sc.system_max,
+                              sc.bounds_min, sc.bounds_max, sc.ids)
+    pk, pi = oracle.sort_tree(pk, pi)
+    want = set((max(a, b), min(a, b))
+               for a, b in oracle.scan(Index64_3D, pk, pi))
+    assert pairs == want
+    assert len(d["objs"]) == 80
