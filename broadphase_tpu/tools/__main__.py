@@ -59,6 +59,26 @@ def cmd_show(args) -> None:
         _render_html(sc, args.html)
 
 
+def _cell_rect_xy(spec, key: int, system_min, system_max):
+    """XY-projected global bounds of one cell key (shared by the PNG and
+    HTML renders — keep the quantized-cell geometry in ONE place)."""
+    from ..utils import oracle
+
+    depth = oracle.depth_of(spec, key)
+    origin = oracle.origin_of(spec, key)
+    if depth == 0:
+        lo, hi = [0, 0], [0xFFFF_FFFF] * 2
+    else:
+        scale = oracle.scale_at_depth(depth)
+        lo = list(origin[:2])
+        hi = [o + scale - 1 for o in origin[:2]]
+    glo = oracle.to_global(system_min, system_max,
+                           np.array(lo + [0], np.uint32))
+    ghi = oracle.to_global(system_min, system_max,
+                           np.array(hi + [0], np.uint32))
+    return float(glo[0]), float(glo[1]), float(ghi[0]), float(ghi[1])
+
+
 def _render_png(sc, path: str, select: int = -1) -> None:
     import matplotlib
     matplotlib.use("Agg")
@@ -81,26 +101,14 @@ def _render_png(sc, path: str, select: int = -1) -> None:
     if select >= 0 and len(sc.layer.ids):
         # render the selected object's index cells (reference
         # gen_test_data.rs:383-393): cell -> local bounds -> global
-        from ..utils import oracle
         from ..index import Index64_3D
         for k, oid in zip(sc.layer.keys, sc.layer.ids):
             if int(oid) != select:
                 continue
-            origin = oracle.origin_of(Index64_3D, int(k))
-            depth = oracle.depth_of(Index64_3D, int(k))
-            if depth == 0:
-                lo = [0, 0]
-                hi = [0xFFFF_FFFF] * 2
-            else:
-                scale = oracle.scale_at_depth(depth)
-                lo = list(origin[:2])
-                hi = [o + scale - 1 for o in origin[:2]]
-            glo = oracle.to_global(sc.system_min, sc.system_max,
-                                   np.array(lo + [0], np.uint32))
-            ghi = oracle.to_global(sc.system_min, sc.system_max,
-                                   np.array(hi + [0], np.uint32))
+            x0, y0, x1, y1 = _cell_rect_xy(Index64_3D, int(k),
+                                           sc.system_min, sc.system_max)
             ax.add_patch(Rectangle(
-                (glo[0], glo[1]), ghi[0] - glo[0], ghi[1] - glo[1],
+                (x0, y0), x1 - x0, y1 - y0,
                 fill=False, linewidth=1.0, edgecolor="tab:green"))
     fig.savefig(path, dpi=120, bbox_inches="tight")
     print(f"wrote {path}")
@@ -130,27 +138,15 @@ def _render_html(sc, path: str) -> None:
             keys, tids = oracle.sort_tree(keys, tids)
     else:
         keys, tids, _ = oracle.extend(spec, sc.system_min, sc.system_max,
-                                      sc.bounds_min, sc.bounds_max, sc.ids)
+                                      sc.bounds_min, sc.bounds_max, sc.ids,
+                                      min_depth=int(sc.layer.min_depth))
         keys, tids = oracle.sort_tree(keys, tids)
     n = len(keys)
     if n > 50_000:
         print(f"warning: {n} tree entries — the HTML will be large")
 
     def cell_rect(k):
-        depth = oracle.depth_of(spec, k)
-        origin = oracle.origin_of(spec, k)
-        if depth == 0:
-            lo, hi = [0, 0], [0xFFFF_FFFF] * 2
-        else:
-            scale = oracle.scale_at_depth(depth)
-            lo = list(origin[:2])
-            hi = [o + scale - 1 for o in origin[:2]]
-        glo = oracle.to_global(sc.system_min, sc.system_max,
-                               np.array(lo + [0], np.uint32))
-        ghi = oracle.to_global(sc.system_min, sc.system_max,
-                               np.array(hi + [0], np.uint32))
-        return [float(glo[0]), float(glo[1]),
-                float(ghi[0]), float(ghi[1])]
+        return list(_cell_rect_xy(spec, k, sc.system_min, sc.system_max))
 
     # replay the sweep (src/layer.rs:550-573) recording per-element events
     stack = []                    # element indices
@@ -238,7 +234,7 @@ const cellEls = D.cells.map(([id,[x0,y0,x1,y1]]) => rect(x0,y0,x1,y1,"cell pendi
 const n = D.cells.length;
 const slider = document.getElementById("step");
 slider.max = n;
-let selected = -1, lastPt = null, cycle = 0;
+let selected = -1, lastKey = null, cycle = 0;
 function stateAt(step){  // replay events 0..step-1
   const role = new Array(n).fill("pending"); const stack = [];
   for (let i = 0; i < step; i++){
@@ -271,11 +267,12 @@ svg.addEventListener("click", ev => {
   D.cells.forEach(([id,[x0,y0,x1,y1]],i) => {
     if (p.x >= x0 && p.x <= x1 && p.y >= y0 && p.y <= y1) hits.push(i);
   });
-  if (!hits.length){ selected = -1; redraw(); return; }
-  const same = lastPt && Math.abs(p.x-lastPt.x) < 1e-9 &&
-               Math.abs(p.y-lastPt.y) < 1e-9;
-  cycle = same ? (cycle + 1) % hits.length : 0;
-  lastPt = p; selected = hits[cycle];
+  if (!hits.length){ selected = -1; lastKey = null; redraw(); return; }
+  // cycling keys off the HIT SET, not the exact point — pixel drift or
+  // fractional client coords must not break "click again to cycle"
+  const k = hits.join(",");
+  cycle = k === lastKey ? (cycle + 1) % hits.length : 0;
+  lastKey = k; selected = hits[cycle];
   const [id, box, key, depth] = D.cells[selected];
   // final-state partners of this id, aggregated from every emission
   const ids = new Set();

@@ -173,7 +173,8 @@ def test_generic(spec: IndexSpec, state: LayerState, root_state,
     mask, ovf = _traverse_mask(spec, state, root_state, subdivide_fn,
                                should_test_fn, frontier_cap, max_depth)
     res = _unique_compact(state.ids, mask, result_cap)
-    return state, TestResult(res.ids, res.count, res.overflow | ovf)
+    return state, TestResult(res.ids, res.count,
+                             res.overflow | ovf | state.overflow)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 8, 9))
@@ -199,7 +200,7 @@ def pick_generic(spec: IndexSpec, state: LayerState, root_state,
     d = jnp.where(jnp.isfinite(d) & mask, d, jnp.inf)
     res = _argmin_pick(d, state.ids, md)
     return state, OrderedPickResult(res.distance, res.obj_id, res.found,
-                                    ovf)
+                                    ovf | state.overflow)
 
 
 # ---------------------------------------------------------------------------
@@ -214,12 +215,13 @@ class OrderedPickResult(NamedTuple):
     overflow: jnp.ndarray   # () bool; True if the DFS stack overflowed
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 9, 10))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 9, 10, 11))
 def pick_ordered(spec: IndexSpec, state: LayerState, root_state,
                  subdivide_fn: Callable, should_test_fn: Callable,
                  test_order_fn: Callable, get_dist_fn: Callable,
                  max_distance=jnp.inf, get_dist_args=(),
-                 max_depth: Optional[int] = None, stack_cap: int = 256
+                 max_depth: Optional[int] = None, stack_cap: int = 256,
+                 id_bound: Optional[int] = None
                  ) -> Tuple[LayerState, OrderedPickResult]:
     """``Layer::pick`` with the reference's EXACT traversal contract
     (``src/layer.rs:364-404`` driving ``test_impl`` ``:167-239``): children
@@ -248,8 +250,11 @@ def pick_ordered(spec: IndexSpec, state: LayerState, root_state,
       same way).  Masked to one evaluation per id; non-finite => no hit
       (``src/layer.rs:388-398``).
 
-    Duplicate-id bookkeeping costs two extra ``lax.sort`` passes over the
-    element capacity per call (building the id -> group map).
+    Duplicate-id bookkeeping (the id -> processed-slot map) costs two
+    extra ``lax.sort`` passes over the element capacity per call; pass
+    ``id_bound`` (static; all live ids strictly below it — e.g. ``n``
+    for the usual dense 0..n-1 ids) to index ``processed`` by id
+    directly and skip both sorts.
     """
     state = sort(spec, state)
     keys = state.keys
@@ -259,15 +264,19 @@ def pick_ordered(spec: IndexSpec, state: LayerState, root_state,
     S = stack_cap
     fanout = spec.fanout
 
-    # id -> group-number map (the reference's `processed: HashSet<ID>`):
-    # rep[p] is a dense group index shared by every tree slot holding the
-    # same id; `processed` is a bool array over groups.
-    pos = jnp.arange(cap, dtype=jnp.uint32)
-    ids_s, pos_s = jax.lax.sort((ids, pos), num_keys=2)
-    seg_start = jnp.concatenate([jnp.ones((1,), jnp.bool_),
-                                 ids_s[1:] != ids_s[:-1]])
-    gidx = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
-    _, rep = jax.lax.sort((pos_s, gidx), num_keys=1)
+    # id -> processed-slot map (the reference's `processed: HashSet<ID>`):
+    # rep[p] is an index shared by every tree slot holding the same id.
+    if id_bound is not None:
+        rep = jnp.minimum(ids, jnp.uint32(id_bound - 1)).astype(jnp.int32)
+        n_proc = id_bound
+    else:
+        pos = jnp.arange(cap, dtype=jnp.uint32)
+        ids_s, pos_s = jax.lax.sort((ids, pos), num_keys=2)
+        seg_start = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                     ids_s[1:] != ids_s[:-1]])
+        gidx = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
+        _, rep = jax.lax.sort((pos_s, gidx), num_keys=1)
+        n_proc = cap
 
     limit = spec.axis_bits if max_depth is None \
         else min(max_depth, spec.axis_bits)
@@ -283,7 +292,7 @@ def pick_ordered(spec: IndexSpec, state: LayerState, root_state,
     sp0 = jnp.where(count > 0, jnp.int32(1), jnp.int32(0))
     carry0 = (kcols0, lo0_a, hi0_a, tag0_a, stl0, sp0,
               jnp.float32(max_distance), jnp.uint32(PAD_ID),
-              jnp.zeros((cap,), jnp.bool_), jnp.bool_(False))
+              jnp.zeros((n_proc,), jnp.bool_), jnp.bool_(False))
 
     def cond(carry):
         return carry[5] > 0
@@ -389,7 +398,8 @@ def pick_ordered(spec: IndexSpec, state: LayerState, root_state,
     _, _, _, _, _, _, nearest, best, _, ovf = carry
     found = best != jnp.uint32(PAD_ID)
     dist = jnp.where(found, nearest, jnp.inf)
-    return state, OrderedPickResult(dist, best, found, ovf)
+    return state, OrderedPickResult(dist, best, found,
+                                    ovf | state.overflow)
 
 
 # -- ray geometry for the ordered pick ------------------------------------
@@ -549,7 +559,8 @@ def _ray_gd_adapter(user_fn):
 def pick_ray_ordered(spec: IndexSpec, state: LayerState, system_min,
                      system_max, origin, direction, max_distance,
                      get_dist_fn: Callable, get_dist_args=(),
-                     max_depth: Optional[int] = None, stack_cap: int = 256
+                     max_depth: Optional[int] = None, stack_cap: int = 256,
+                     id_bound: Optional[int] = None
                      ) -> Tuple[LayerState, OrderedPickResult, jnp.ndarray]:
     """``Layer::pick_ray`` (``src/layer.rs:417-446``) with exact ordered
     semantics: range [0, max_distance] ray geometry, ``get_dist_fn(nearest,
@@ -562,7 +573,8 @@ def pick_ray_ordered(spec: IndexSpec, state: LayerState, system_min,
     state, res = pick_ordered(spec, state, root, sub, st, to, gd,
                               max_distance=max_distance,
                               get_dist_args=get_dist_args,
-                              max_depth=max_depth, stack_cap=stack_cap)
+                              max_depth=max_depth, stack_cap=stack_cap,
+                              id_bound=id_bound)
     ro = jnp.asarray(origin, jnp.float32)
     rd = jnp.asarray(direction, jnp.float32)
     point = jnp.where(res.found, ro + rd * res.distance, jnp.nan)

@@ -341,3 +341,60 @@ def test_pick_ordered_weird_geometry_fuzz(spec):
                 assert bool(got.found), (scene_seed, trial)
                 assert int(got.obj_id) == want[1], (scene_seed, trial)
                 assert float(got.distance) == np.float32(want[0])
+
+
+def test_pick_ordered_min_depth_layer():
+    """min_depth > 0 trees: the walk's shallow levels hold no keys (all
+    slices empty until depth >= min_depth) — partition bookkeeping must
+    stay exact."""
+    spec = Index64_3D
+    smin, smax, bmin, bmax, ids = _scene(spec, 150, seed=83)
+    state, keys, tids = _built_layer(spec, smin, smax, bmin, bmax, ids,
+                                     min_depth=2)
+    ro = np.array([-40.0, -30.0, -20.0], np.float32)
+    rd = np.array([0.7, 1.0, 0.9], np.float32)
+    state, got, _ = traverse.pick_ray_ordered(
+        spec, state, smin, smax, ro, rd, 1e9, _hash_gd_ray)
+    geom = oracle.RayTestGeometry(smin, smax, ro, rd, 0.0, 1e9)
+    want = oracle.run_pick(spec, keys, tids, geom, 1e9, _hash_cb)
+    assert (want is not None) == bool(got.found)
+    if want is not None:
+        assert int(got.obj_id) == want[1]
+        assert float(got.distance) == np.float32(want[0])
+
+
+def test_pick_ordered_id_bound_fast_path():
+    """id_bound (static dense-id bound) indexes the processed set by id
+    directly, skipping the two per-call sorts — must be result-identical
+    to the default grouped path."""
+    spec = Index64_3D
+    smin, smax, bmin, bmax, ids = _scene(spec, 200, seed=89)
+    state, keys, tids = _built_layer(spec, smin, smax, bmin, bmax, ids)
+    rng = np.random.default_rng(29)
+    for trial in range(3):
+        ro = rng.uniform(-45, 45, 3).astype(np.float32)
+        rd = rng.normal(size=3).astype(np.float32)
+        state, a, _ = traverse.pick_ray_ordered(
+            spec, state, smin, smax, ro, rd, 1e9, _hash_gd_ray)
+        state, b, _ = traverse.pick_ray_ordered(
+            spec, state, smin, smax, ro, rd, 1e9, _hash_gd_ray,
+            id_bound=200)
+        assert bool(a.found) == bool(b.found)
+        if bool(a.found):
+            assert int(a.obj_id) == int(b.obj_id)
+            assert float(a.distance) == float(b.distance)
+
+
+def test_pick_ordered_truncated_layer_flags_overflow():
+    """A layer built into a too-small capacity drops cells (its overflow
+    flag is set); picks on it must surface that — never a silently
+    trusted result on a truncated tree."""
+    spec = Index64_3D
+    smin, smax, bmin, bmax, ids = _scene(spec, 100, seed=91)
+    state = layer.build(spec, smin, smax, bmin, bmax, ids,
+                        out_capacity=64)   # << tree size: truncates
+    assert bool(state.overflow)
+    state, got, _ = traverse.pick_ray_ordered(
+        spec, state, smin, smax, np.zeros(3, np.float32),
+        np.ones(3, np.float32), 1e9, _hash_gd_ray)
+    assert bool(got.overflow)
