@@ -129,7 +129,7 @@ def test_box(spec: IndexSpec, state: LayerState, system_min, system_max,
     cmin, cmax, live = _element_cells(spec, state, system_min, system_max,
                                       max_depth)
     hit = geom.bounds_overlaps(cmin, cmax, qmin[None, :], qmax[None, :])
-    return state, _unique_compact(state.ids, hit & live, result_cap)
+    return state, _flag_truncation(state, _unique_compact(state.ids, hit & live, result_cap))
 
 
 # ---------------------------------------------------------------------------
@@ -217,13 +217,23 @@ def test_ray(spec: IndexSpec, state: LayerState, system_min, system_max,
                                      ray_origin, ray_dir, range_min,
                                      range_max, max_depth)
     hit = (rmin < rmax) & live       # should_test with nearest = inf
-    return state, _unique_compact(state.ids, hit, result_cap)
+    return state, _flag_truncation(state, _unique_compact(state.ids, hit, result_cap))
 
 
 class PickResult(NamedTuple):
     distance: jnp.ndarray   # () f32; +inf when nothing hit
     obj_id: jnp.ndarray     # () uint32; PAD_ID when nothing hit
     found: jnp.ndarray      # () bool
+    overflow: jnp.ndarray   # () bool; True when the layer's tree was
+                            # truncated (state.overflow) — the pick may
+                            # have missed the true nearest object
+
+
+def _flag_truncation(state, res):
+    """OR the layer's truncation flag into a query result: results on a
+    tree that dropped cells (build/extend overflow) are never silently
+    trusted (same contract as scan and the traverse engines)."""
+    return res._replace(overflow=res.overflow | state.overflow)
 
 
 def _argmin_pick(d: jnp.ndarray, ids: jnp.ndarray, max_dist) -> PickResult:
@@ -234,7 +244,8 @@ def _argmin_pick(d: jnp.ndarray, ids: jnp.ndarray, max_dist) -> PickResult:
     idmin = jnp.min(jnp.where(d == dmin, ids, PAD_ID))
     found = jnp.any(hit)
     return PickResult(jnp.where(found, dmin, jnp.inf),
-                      jnp.where(found, idmin, PAD_ID), found)
+                      jnp.where(found, idmin, PAD_ID), found,
+                      jnp.bool_(False))
 
 
 def _ray_axis_positions(dim: int, ray_dir):
@@ -320,7 +331,8 @@ def _argmin_pick_ranked(d: jnp.ndarray, rank_cols, pos: jnp.ndarray,
     win = jnp.min(jnp.where(tie & (pos == mpos), ids, PAD_ID))
     found = jnp.any(hit)
     return PickResult(jnp.where(found, dmin, jnp.inf),
-                      jnp.where(found, win, PAD_ID), found)
+                      jnp.where(found, win, PAD_ID), found,
+                      jnp.bool_(False))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 7, 9))
@@ -355,7 +367,7 @@ def pick_ray(spec: IndexSpec, state: LayerState, system_min, system_max,
         depth = jnp.minimum(depth, jnp.uint32(max_depth))
     rank = _ray_visit_rank(spec, origin, depth, ray_dir)
     pos = jnp.arange(state.ids.shape[0], dtype=jnp.uint32)
-    return state, _argmin_pick_ranked(d, rank, pos, state.ids, md)
+    return state, _flag_truncation(state, _argmin_pick_ranked(d, rank, pos, state.ids, md))
 
 
 # ---------------------------------------------------------------------------
@@ -512,7 +524,7 @@ def test_box_batch(spec: IndexSpec, state: LayerState,
                                    qmax_i[None, :])
         return _unique_compact_sorted(ids_s, hit & live, result_cap)
 
-    return state, _map_queries(one, (qmin, qmax), qmin.shape[0], chunk)
+    return state, _flag_truncation(state, _map_queries(one, (qmin, qmax), qmin.shape[0], chunk))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 8, 9, 10))
@@ -540,7 +552,7 @@ def test_ray_batch(spec: IndexSpec, state: LayerState,
         return _unique_compact_sorted(ids_s, (rmin < rmax) & live,
                                       result_cap)
 
-    return state, _map_queries(one, (ro, rd, rmn, rmx), Q, chunk)
+    return state, _flag_truncation(state, _map_queries(one, (ro, rd, rmn, rmx), Q, chunk))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 7, 9, 10))
@@ -575,8 +587,9 @@ def pick_ray_batch(spec: IndexSpec, state: LayerState,
         rank = _ray_visit_rank(spec, origin_s, depth_s, rd_i)
         return _argmin_pick_ranked(d, rank, pos_s, ids_s, md_i)
 
-    return state, _map_queries(one, (ro, rd, md, tuple(get_dist_args)),
-                               Q, chunk)
+    return state, _flag_truncation(
+        state, _map_queries(one, (ro, rd, md, tuple(get_dist_args)),
+                            Q, chunk))
 
 
 # ---------------------------------------------------------------------------
@@ -598,7 +611,7 @@ def test(spec: IndexSpec, state: LayerState, system_min, system_max,
                                       max_depth)
     hit = jnp.asarray(should_test(cmin, cmax, *should_test_args),
                       jnp.bool_)
-    return state, _unique_compact(state.ids, hit & live, result_cap)
+    return state, _flag_truncation(state, _unique_compact(state.ids, hit & live, result_cap))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 7))
@@ -619,4 +632,4 @@ def pick(spec: IndexSpec, state: LayerState, system_min, system_max,
     d = jnp.asarray(get_dist(state.ids, cmin, cmax, live,
                              *get_dist_args), jnp.float32)
     d = jnp.where(jnp.isfinite(d) & live, d, jnp.inf)
-    return state, _argmin_pick(d, state.ids, md)
+    return state, _flag_truncation(state, _argmin_pick(d, state.ids, md))

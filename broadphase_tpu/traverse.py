@@ -53,7 +53,7 @@ frontier axis F):
 from __future__ import annotations
 
 import functools
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -208,11 +208,10 @@ def pick_generic(spec: IndexSpec, state: LayerState, root_state,
 # ---------------------------------------------------------------------------
 
 
-class OrderedPickResult(NamedTuple):
-    distance: jnp.ndarray   # () f32; +inf when nothing hit
-    obj_id: jnp.ndarray     # () uint32; PAD_ID when nothing hit
-    found: jnp.ndarray      # () bool
-    overflow: jnp.ndarray   # () bool; True if the DFS stack overflowed
+# same shape as query.PickResult (which now carries overflow too); kept
+# as a distinct name because here overflow ALSO covers the DFS stack /
+# BFS frontier capacity, not just tree truncation
+OrderedPickResult = PickResult
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 9, 10, 11))
