@@ -398,3 +398,27 @@ def test_pick_ordered_truncated_layer_flags_overflow():
         spec, state, smin, smax, np.zeros(3, np.float32),
         np.ones(3, np.float32), 1e9, _hash_gd_ray)
     assert bool(got.overflow)
+
+
+def test_pick_ordered_identical_cluster_worst_case():
+    """All objects identical and co-located: every candidate folds through
+    one slice sequentially (the DFS's worst case) — must terminate, match
+    the oracle, and not overflow a default stack."""
+    spec = Index64_3D
+    smin = np.zeros(3, np.float32)
+    smax = np.full(3, 10.0, np.float32)
+    n = 300
+    bmin = np.full((n, 3), 1.0, np.float32)
+    bmax = np.full((n, 3), 1.4, np.float32)
+    ids = np.arange(n, dtype=np.uint32)
+    state, keys, tids = _built_layer(spec, smin, smax, bmin, bmax, ids)
+    ro = np.zeros(3, np.float32)
+    rd = np.ones(3, np.float32)
+    state, got, _ = traverse.pick_ray_ordered(
+        spec, state, smin, smax, ro, rd, 1e9, _hash_gd_ray, id_bound=n)
+    assert not bool(got.overflow)
+    geom = oracle.RayTestGeometry(smin, smax, ro, rd, 0.0, 1e9)
+    want = oracle.run_pick(spec, keys, tids, geom, 1e9, _hash_cb)
+    assert want is not None and bool(got.found)
+    assert int(got.obj_id) == want[1]
+    assert float(got.distance) == np.float32(want[0])
