@@ -180,8 +180,11 @@ def bench_ball_pit_2d(n=10_000, iters=20):
     smax = np.ones(2, np.float32)
     ids = np.arange(n, dtype=np.uint32)
     # min_depth=4 multiplies cells/object, so raw emissions need 32n; the
-    # emit-once rule keeps only unique pairs -> 12n output budget
-    pair_cap = ((12 * n) // 1024) * 1024
+    # emit-once rule keeps only unique pairs — measured 176,365 at n=10k
+    # (17.64n; the pit is dense), so budget 24n with ~36% headroom.  12n
+    # truncated the list (overflow=True in the record) — never shrink a
+    # cap without re-measuring the scene's true pair count on CPU.
+    pair_cap = ((24 * n) // 1024) * 1024
     emit_cap = ((32 * n) // 1024) * 1024
 
     @jax.jit
