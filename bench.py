@@ -164,6 +164,45 @@ def _verify_against_native(spec, smin, smax, bmin, bmax, ids, n, out):
           f"({time.perf_counter() - t0:.1f} s)", file=sys.stderr)
 
 
+def _verify_30k():
+    """Unconditional correctness gate on every bench run (VERDICT round 3
+    #3): build + scan a 30k generated scene on the device and compare the
+    pair list pair-for-pair against the C++ sequential oracle
+    (``native/broadphase_host.cpp``).  Returns True iff bit-identical —
+    the result is published as ``"verified"`` in the JSON record, and the
+    orchestrator treats ``verified=false`` like a crash.  The full-scale
+    (1M) pair-for-pair check stays opt-in via BROADPHASE_VERIFY=1."""
+    from broadphase_tpu import Index64_3D, layer
+    from broadphase_tpu.utils import gen, native
+
+    spec = Index64_3D
+    n = 30_000
+    t0 = time.perf_counter()
+    try:
+        sc = gen.gen_boxes(count=n, density=1.0 / 1000.0, seed=0)
+        st = layer.build(spec, sc.system_min, sc.system_max,
+                         sc.bounds_min, sc.bounds_max, sc.ids,
+                         out_capacity=4 * n)
+        st, res = layer.scan(spec, st, 10 * n, emit_capacity=16 * n)
+        if bool(res.overflow):
+            print("VERIFY-30k: FAILED (overflow)", file=sys.stderr)
+            return False
+        cnt = int(res.count)
+        got = np.stack([np.asarray(res.pairs_a, np.uint32)[:cnt],
+                        np.asarray(res.pairs_b, np.uint32)[:cnt]], axis=1)
+        keys_np, ids_np, _ = layer.tree_to_numpy(spec, st)
+        want = native.scan_seq(keys_np, ids_np, pair_slack=32)
+        ok = got.shape == want.shape and bool(np.array_equal(got, want))
+        print(f"VERIFY-30k: {'OK' if ok else 'FAILED'} — device "
+              f"{got.shape[0]} pairs vs native {want.shape[0]} "
+              f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
+        return ok
+    except Exception as e:  # noqa: BLE001 — a broken verify is a failure
+        print(f"VERIFY-30k: FAILED ({type(e).__name__}: {e})",
+              file=sys.stderr)
+        return False
+
+
 def bench_ball_pit_2d(n=10_000, iters=20):
     """The reference's headline config: 2D circles, Index32_2D, min_depth=4
     (examples/main.rs:364-374), full clear+extend+sort+scan per frame."""
@@ -337,6 +376,8 @@ def child_main():
     n_small = 10_000
     n_big = 1_000_000 if on_tpu else 30_000
 
+    verified = _verify_30k()
+
     bp_p50, bp_pairs, bp_ovf = bench_ball_pit_2d(n_small)
     print(f"ball_pit_2d n={n_small}: p50={bp_p50:.3f} ms "
           f"pairs={bp_pairs} overflow={bp_ovf} "
@@ -384,10 +425,15 @@ def child_main():
         "unit": "ms",
         "vs_baseline": round(vs_baseline, 2),
         "blocking_p50_ms": round(lat_big, 4),
-        # any buffer overflow truncates the pair list: the record is
-        # visibly invalid instead of silently publishing a fast-but-wrong
-        # number (stderr already warns; this puts it in the record itself)
-        "overflow": bool(ovf_small or ovf_big),
+        # any benched scene's buffer overflow truncates its pair list: the
+        # record is visibly invalid instead of silently publishing a
+        # fast-but-wrong number (stderr already warns; this puts it in the
+        # record itself) — includes the ball-pit and merge scenes (ADVICE
+        # round 3)
+        "overflow": bool(ovf_small or ovf_big or bp_ovf or m_ovf),
+        # pair-for-pair 30k device-vs-C++-oracle check, run unconditionally
+        # this process; false invalidates the record (orchestrator retries)
+        "verified": bool(verified),
     }))
 
 
@@ -460,6 +506,11 @@ def _run_attempt(timeout_s: float, stall_s: float):
             try:
                 rec = json.loads(line)
                 if "metric" in rec and "value" in rec:
+                    if rec.get("verified") is False:
+                        # a fast-but-wrong record is a crash, not a result
+                        print("bench attempt FAILED verification "
+                              "(device scan != C++ oracle)", file=sys.stderr)
+                        return None
                     return rec
             except json.JSONDecodeError:
                 continue
