@@ -329,3 +329,25 @@ def test_scene_layer_restore_reconstructs_aux():
     st3 = blayer.layer_from_scene_layer(spec, sl2, capacity=16)
     np.testing.assert_array_equal(np.asarray(st3.aux)[:2],
                                   np.zeros(2, np.uint32))
+
+
+@pytest.mark.parametrize("spec,dim", [(Index64_3D, 3), (Index32_2D, 2)])
+def test_scan_canonical_false_same_unique_set(spec, dim):
+    """scan(..., canonical=False) skips the sort post-pass but must return
+    the SAME pair set, duplicate-free (the emit-once rule guarantees
+    uniqueness for narrow unique-id layers; VERDICT round 3 #1c)."""
+    sys_min, sys_max, bmin, bmax, ids = random_scene(dim, 1500, seed=7)
+    st = blayer.build(spec, sys_min, sys_max, bmin, bmax, ids,
+                      out_capacity=4 * 1500)
+    st, res_c = blayer.scan(spec, st, 16 * 1500, emit_capacity=32 * 1500)
+    st, res_u = blayer.scan(spec, st, 16 * 1500, emit_capacity=32 * 1500,
+                            canonical=False)
+    assert not bool(res_c.overflow) and not bool(res_u.overflow)
+    nc, nu = int(res_c.count), int(res_u.count)
+    pairs_c = set(blayer.scan_result_to_numpy(res_c))
+    pairs_u_list = blayer.scan_result_to_numpy(res_u)
+    pairs_u = set(pairs_u_list)
+    assert nc == nu == len(pairs_u)       # no duplicates survived
+    assert pairs_c == pairs_u             # same set, order-free
+    # pads stay PAD beyond count
+    assert np.all(np.asarray(res_u.pairs_a, np.uint32)[nu:] == 0xFFFF_FFFF)
