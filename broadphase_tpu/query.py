@@ -114,14 +114,18 @@ def _unique_compact(values: jnp.ndarray, mask: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnums=(0, 5, 6))
-def test_box(spec: IndexSpec, state: LayerState, system_min, system_max,
-             query_bounds, result_cap: int,
-             max_depth: Optional[int] = None
-             ) -> Tuple[LayerState, TestResult]:
+def test_box_linear(spec: IndexSpec, state: LayerState, system_min,
+                    system_max, query_bounds, result_cap: int,
+                    max_depth: Optional[int] = None
+                    ) -> Tuple[LayerState, TestResult]:
     """All ids whose cell overlaps the query AABB
     (reference ``Layer::test_box``, ``src/layer.rs:294-313``).
 
     query_bounds: (qmin, qmax) f32 (dim,) global coordinates.
+
+    This is the *linear* engine (one elementwise replay of the whole
+    tree); :func:`test_box` dispatches between it and the sublinear
+    tree-descent engine (``singleq.test_box``) by tree size.
     """
     state = sort(spec, state)
     qmin = jnp.asarray(query_bounds[0], jnp.float32)
@@ -206,12 +210,13 @@ def ray_intervals(spec: IndexSpec, state: LayerState, system_min, system_max,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 8, 9))
-def test_ray(spec: IndexSpec, state: LayerState, system_min, system_max,
-             ray_origin, ray_dir, range_min, range_max, result_cap: int,
-             max_depth: Optional[int] = None
-             ) -> Tuple[LayerState, TestResult]:
+def test_ray_linear(spec: IndexSpec, state: LayerState, system_min,
+                    system_max, ray_origin, ray_dir, range_min, range_max,
+                    result_cap: int, max_depth: Optional[int] = None
+                    ) -> Tuple[LayerState, TestResult]:
     """All ids whose cell the ray's slab interval intersects
-    (reference ``Layer::test_ray``, ``src/layer.rs:327-352``)."""
+    (reference ``Layer::test_ray``, ``src/layer.rs:327-352``).
+    Linear engine; see :func:`test_ray` for the dispatcher."""
     state = sort(spec, state)
     rmin, rmax, live = ray_intervals(spec, state, system_min, system_max,
                                      ray_origin, ray_dir, range_min,
@@ -336,13 +341,14 @@ def _argmin_pick_ranked(d: jnp.ndarray, rank_cols, pos: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 7, 9))
-def pick_ray(spec: IndexSpec, state: LayerState, system_min, system_max,
-             ray_origin, ray_dir, max_distance,
-             get_dist: Callable, get_dist_args=(),
-             max_depth: Optional[int] = None
-             ) -> Tuple[LayerState, PickResult]:
+def pick_ray_linear(spec: IndexSpec, state: LayerState, system_min,
+                    system_max, ray_origin, ray_dir, max_distance,
+                    get_dist: Callable, get_dist_args=(),
+                    max_depth: Optional[int] = None
+                    ) -> Tuple[LayerState, PickResult]:
     """Nearest object along a ray (reference ``Layer::pick_ray``,
-    ``src/layer.rs:418-446``).
+    ``src/layer.rs:418-446``).  Linear engine; see :func:`pick_ray`
+    for the dispatcher.
 
     ``get_dist(ids, mask, *get_dist_args) -> f32 dists`` is the vectorized
     narrow phase (the reference takes a scalar callback, ``:438-444``);
@@ -368,6 +374,94 @@ def pick_ray(spec: IndexSpec, state: LayerState, system_min, system_max,
     rank = _ray_visit_rank(spec, origin, depth, ray_dir)
     pos = jnp.arange(state.ids.shape[0], dtype=jnp.uint32)
     return state, _flag_truncation(state, _argmin_pick_ranked(d, rank, pos, state.ids, md))
+
+
+# ---------------------------------------------------------------------------
+# Single-query dispatchers: linear replay vs sublinear tree descent
+# ---------------------------------------------------------------------------
+#
+# Both engines are bit-identical (differential-tested in
+# tests/test_singleq.py); the choice is pure performance.  The linear
+# replay is one fused elementwise pass — cheapest for small trees, O(n)
+# for large ones.  The tree engine (singleq.py) is the analog of the
+# reference's recursive test_impl (src/layer.rs:167-239): O(log n)
+# binary-search rounds + a small candidate gather — sublinear in tree
+# size, the right shape for one-query-per-frame interactive use.
+
+_TREE_ENGINE_MIN_CAP = 32768
+
+
+def _engine(engine: Optional[str], cap: int) -> str:
+    if engine is None:
+        import os
+        engine = os.environ.get("BROADPHASE_QUERY_ENGINE", "auto")
+    if engine == "auto":
+        return "tree" if cap >= _TREE_ENGINE_MIN_CAP else "linear"
+    if engine not in ("linear", "tree"):
+        raise ValueError(f"unknown query engine {engine!r}; expected "
+                         "'linear', 'tree' or 'auto'")
+    return engine
+
+
+def test_box(spec: IndexSpec, state: LayerState, system_min, system_max,
+             query_bounds, result_cap: int,
+             max_depth: Optional[int] = None,
+             engine: Optional[str] = None,
+             candidate_cap: Optional[int] = None
+             ) -> Tuple[LayerState, TestResult]:
+    """``Layer::test_box`` (``src/layer.rs:294-313``): dispatches between
+    the linear replay and the sublinear tree-descent engine by tree size
+    (override with ``engine=`` or ``BROADPHASE_QUERY_ENGINE``)."""
+    if _engine(engine, state.ids.shape[0]) == "tree":
+        from . import singleq
+        return singleq.test_box(
+            spec, state, system_min, system_max, query_bounds, result_cap,
+            max_depth, candidate_cap or singleq.CANDIDATE_CAP)
+    return test_box_linear(spec, state, system_min, system_max,
+                           query_bounds, result_cap, max_depth)
+
+
+def test_ray(spec: IndexSpec, state: LayerState, system_min, system_max,
+             ray_origin, ray_dir, range_min, range_max, result_cap: int,
+             max_depth: Optional[int] = None,
+             engine: Optional[str] = None,
+             candidate_cap: Optional[int] = None,
+             frontier_cap: Optional[int] = None
+             ) -> Tuple[LayerState, TestResult]:
+    """``Layer::test_ray`` (``src/layer.rs:327-352``): engine dispatcher —
+    see :func:`test_box`."""
+    if _engine(engine, state.ids.shape[0]) == "tree":
+        from . import singleq
+        return singleq.test_ray(
+            spec, state, system_min, system_max, ray_origin, ray_dir,
+            range_min, range_max, result_cap, max_depth,
+            candidate_cap or singleq.CANDIDATE_CAP,
+            frontier_cap or singleq.FRONTIER_CAP)
+    return test_ray_linear(spec, state, system_min, system_max, ray_origin,
+                           ray_dir, range_min, range_max, result_cap,
+                           max_depth)
+
+
+def pick_ray(spec: IndexSpec, state: LayerState, system_min, system_max,
+             ray_origin, ray_dir, max_distance,
+             get_dist: Callable, get_dist_args=(),
+             max_depth: Optional[int] = None,
+             engine: Optional[str] = None,
+             candidate_cap: Optional[int] = None,
+             frontier_cap: Optional[int] = None
+             ) -> Tuple[LayerState, PickResult]:
+    """``Layer::pick_ray`` (``src/layer.rs:418-446``): engine dispatcher —
+    see :func:`test_box`."""
+    if _engine(engine, state.ids.shape[0]) == "tree":
+        from . import singleq
+        return singleq.pick_ray(
+            spec, state, system_min, system_max, ray_origin, ray_dir,
+            max_distance, get_dist, get_dist_args, max_depth,
+            candidate_cap or singleq.CANDIDATE_CAP,
+            frontier_cap or singleq.FRONTIER_CAP)
+    return pick_ray_linear(spec, state, system_min, system_max, ray_origin,
+                           ray_dir, max_distance, get_dist, get_dist_args,
+                           max_depth)
 
 
 # ---------------------------------------------------------------------------
