@@ -519,11 +519,14 @@ def _merge_jit(spec: IndexSpec, state: LayerState, other: LayerState
     """Two paths, selected at runtime:
 
     * both inputs sorted (the precomputed-static-layer pattern, reference
-      README.md:28): merge = concatenate + one (cap+ocap)-lane sort —
-      scatter-free, and the result carries ``sorted=True`` so the next
-      scan skips its own full re-sort (VERDICT round 2 #8).  The merged
-      tree equals the reference's merge-then-sort tree bit for bit; only
-      the intermediate (never-sorted) iteration order is skipped.
+      README.md:28): a log(n)-stage bitonic MERGE (``ops/merge.py``) —
+      two sorted runs form a bitonic sequence, so the full O(n log^2 n)
+      re-sort the reference's merge-then-sort idiom implies
+      (``src/layer.rs:127-138`` + ``:159``) collapses to log2(n)
+      gather-free compare-exchange passes; the result carries
+      ``sorted=True`` so the next scan skips its own full re-sort.  The
+      merged tree equals the reference's merge-then-sort tree bit for bit;
+      only the intermediate (never-sorted) iteration order is skipped.
     * otherwise: the reference's literal append order via a scatter, marked
       unsorted (``src/layer.rs:127-138``).
     """
@@ -531,15 +534,20 @@ def _merge_jit(spec: IndexSpec, state: LayerState, other: LayerState
     ocap = capacity_of(other)
 
     def _sorted_merge(args):
+        from .ops.merge import bitonic_merge
         st, ot = args
-        cols = tuple(jnp.concatenate([x, y]) for x, y in zip(
-            bidx.sort_operands(spec, st.keys) + (st.ids, st.aux),
-            bidx.sort_operands(spec, ot.keys) + (ot.ids, ot.aux)))
         # aux rides as a non-key payload: the (key, id) tuple is unique
         # over live entries, so stability is immaterial
-        out = jax.lax.sort(cols, num_keys=len(cols) - 1)
+        out = bitonic_merge(
+            bidx.sort_operands(spec, st.keys) + (st.ids, st.aux),
+            bidx.sort_operands(spec, ot.keys) + (ot.ids, ot.aux),
+            num_keys=spec.bits // 32 + 1)
         out = tuple(c[:cap] for c in out)
-        return (bidx.key_from_columns(spec, out[:-2]), out[-2], out[-1],
+        ids_m = out[-2]
+        # the merger's power-of-two padding is all-ones in every column;
+        # restore the layer convention of zero aux on pad entries
+        aux_m = jnp.where(ids_m == PAD_ID, jnp.uint32(0), out[-1])
+        return (bidx.key_from_columns(spec, out[:-2]), ids_m, aux_m,
                 jnp.bool_(True))
 
     def _append_merge(args):
