@@ -13,7 +13,7 @@ from .index import (  # noqa: F401
     Index64_2D,
     Index64_3D,
 )
-from . import geom, index, layer, query, singleq, traverse  # noqa: F401
+from . import geom, index, layer, query, singleq, traverse, update  # noqa: F401
 from .layer import (  # noqa: F401
     LayerBuilder,
     LayerState,

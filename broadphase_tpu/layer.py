@@ -202,6 +202,16 @@ def extend(spec: IndexSpec, state: LayerState,
     contained by the system bounds are counted in ``invalid_count`` and
     dropped (the reference pushes them to a private ``invalid`` vec that is
     never exposed, ``src/layer.rs:108-111``).
+
+    PERFORMANCE: this is the *incremental* path — it scatters the new
+    entries into place (~8-10 ns/element of random access on TPU, measured)
+    and marks the layer unsorted.  For whole-frame (re)builds — the
+    reference's ``clear + extend + par_sort`` idiom — call :func:`build`
+    instead: it emits into a fresh buffer and lets the (needed anyway)
+    sort do the compaction, ~10x faster at bench scales.  For per-frame
+    scenes that move slightly, :mod:`broadphase_tpu.update` skips even the
+    full sort.  ``extend`` is the right tool only for genuinely small
+    appends to an existing tree.
     """
     system_min = jnp.asarray(system_min, jnp.float32)
     system_max = jnp.asarray(system_max, jnp.float32)
