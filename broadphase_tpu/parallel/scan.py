@@ -24,12 +24,17 @@ expansion (:func:`broadphase_tpu.layer.scan_pairs`).
 
 One object's cells may land on different devices, so the *same id pair* can
 be emitted by two shards.  A second all_to_all routes every pair to the
-device owning ``pair_a % n_dev``; cross-shard duplicates therefore collide on
-one device and are removed by the local canonical sort+dedup — the global
-dedup happens ON DEVICE, ``total_count`` is exact, and the only host work
-left in :func:`gather_pairs` is re-interleaving the disjoint residue classes
-into one sorted list (the reference's canonical par_scan output,
-``src/layer.rs:516-517``).
+device owning ``hash(pair_a) % n_dev`` (Fibonacci hash — ownership is
+decorrelated from application id patterns); cross-shard duplicates
+therefore collide on one device and are removed by the local canonical
+sort+dedup — the global dedup happens ON DEVICE, ``total_count`` is exact,
+and the only host work left in :func:`gather_pairs` is merging the
+disjoint per-device classes into one sorted list (the reference's
+canonical par_scan output, ``src/layer.rs:516-517``).
+
+Weak-scaling cost model (per-device byte counts of both all_to_alls, the
+``n_dev * xcap`` exchange-buffer growth, id-skew, and the min_depth
+consequence at 64-256 devices): **docs/SCALING.md**.
 """
 
 from __future__ import annotations
@@ -51,7 +56,7 @@ from ..ops.u64 import U64
 
 class ShardedScanResult(NamedTuple):
     pairs_a: jnp.ndarray       # (n_dev * out_cap,) uint32, sharded; each
-    pairs_b: jnp.ndarray       #   shard holds its a%n_dev residue class,
+    pairs_b: jnp.ndarray       #   shard holds its hash(a)-owned class,
     #                              sorted + globally deduped
     shard_counts: jnp.ndarray  # (n_dev,) int32 deduped pairs per shard
     total_count: jnp.ndarray   # () int32 exact global deduped pair count
@@ -205,11 +210,17 @@ def make_sharded_step(spec: IndexSpec, mesh: Mesh, axis_name: str,
                          filter_fn, extra_overflow=local_ovf, aux=saux,
                          nested_ids=nested_ids)
 
-        # --- global dedup: route pairs to the a%n_dev owner so duplicates
-        # collide on one device, then canonical sort+dedup locally ----------
+        # --- global dedup: route pairs to the owner device of hash(pair_a)
+        # so duplicates collide on one device, then canonical sort+dedup
+        # locally.  Any deterministic function of pair_a works (duplicates
+        # of one pair share pair_a); the Fibonacci hash decorrelates
+        # ownership from application id patterns — a plain a % n_dev would
+        # send e.g. an all-even id scene's every pair to half the devices
+        # (see docs/SCALING.md, id-skew) ------------------------------------
         pa, pb = res.pairs_a, res.pairs_b
         plive = pa != PAD_ID
-        pbkt = jnp.where(plive, (pa % jnp.uint32(max(n_dev, 1))
+        pbkt = jnp.where(plive, ((pa * jnp.uint32(0x9E3779B1))
+                                 % jnp.uint32(max(n_dev, 1))
                                  ).astype(jnp.int32), n_dev)
         sb, spa, spb = jax.lax.sort(
             (pbkt.astype(jnp.uint32), pa, pb), num_keys=3)
@@ -217,9 +228,9 @@ def make_sharded_step(spec: IndexSpec, mesh: Mesh, axis_name: str,
             (spa, spb), sb.astype(jnp.int32), sb != jnp.uint32(n_dev),
             n_dev, xcap, pads=(PAD_ID, PAD_ID))
         # NOTE scaling: the exchanged buffer is n_dev * xcap lanes per
-        # device — xcap bounds ONE device's residue class of the deduped
+        # device — xcap bounds ONE device's hash-owned class of the deduped
         # pair list, so for fixed global pair count it can shrink ~1/n_dev;
-        # keep n_dev * xcap within HBM when scaling out.
+        # keep n_dev * xcap within HBM when scaling out (docs/SCALING.md).
         xa = jax.lax.all_to_all(prows[0], axis_name,
                                 split_axis=0, concat_axis=0).reshape(-1)
         xb = jax.lax.all_to_all(prows[1], axis_name,
@@ -266,9 +277,10 @@ def sharded_scan_step(spec: IndexSpec, mesh: Mesh, axis_name: str,
 
 
 def gather_pairs(result: ShardedScanResult):
-    """Host-side: interleave the per-shard residue classes into one sorted
-    list.  Shards are already globally deduped on device (disjoint a%n_dev
-    classes), so this is a reorder, not a dedup."""
+    """Host-side: merge the per-shard hash-owned classes into one sorted
+    list.  Shards are already globally deduped on device (hash(a)
+    ownership makes the classes disjoint), so this is a reorder, not a
+    dedup."""
     counts = np.asarray(result.shard_counts, np.int64)
     n_dev = counts.shape[0]
     pa = np.asarray(result.pairs_a, np.uint32).reshape(n_dev, -1)

@@ -15,9 +15,19 @@ program over fixed-shape arrays.  An optional O(n^2) brute-force mode
 replicates the reference's built-in soak-test toggle (``:485-505``), and
 ``--png`` dumps frames (the headless render story).
 
+``--lifecycle`` enables the reference's population Lifecycle system
+(``main.rs:281-332``): per frame, balls past their lifetime expire, and up
+to ``BALL_COUNT_MAX * step_ms / LIFETIME_MIN_MS`` new balls spawn at the
+top with random radius ``exp(U(0.5, 2))`` and lifetime ``U(10 s, 50 s)``,
+until the population cap.  TPU-native shape: a fixed-capacity array with
+an implicit alive mask (``expires > sim``); dead balls' bounds move
+outside the system box so the broadphase build drops them (the layer's
+``invalid`` path), and spawns scatter into ``top_k``-selected dead slots —
+all inside the same jitted step.
+
 Usage:
     python examples/ball_pit.py [--balls 2500] [--frames 300]
-        [--brute-force] [--png-every 0] [--seed 0]
+        [--brute-force] [--lifecycle] [--png-every 0] [--seed 0]
 """
 
 import argparse
@@ -40,8 +50,15 @@ DT = jnp.float32(1.0 / 100.0)    # reference: 100 Hz fixed step (main.rs:130)
 MAX_SPEED = jnp.float32(1.0)     # speed cap (main.rs:352-358)
 MIN_DEPTH = 4                    # reference layer config (main.rs:372)
 
+# Lifecycle constants (main.rs:303-306); lifetimes in seconds of sim time
+LIFETIME_MIN = 10.0
+LIFETIME_MAX = 50.0
+SPAWNS_PER_FRAME = max(1, int(2500 * float(DT) * 1000.0 // (LIFETIME_MIN
+                                                            * 1000.0)))
 
-def make_step(n: int, pair_cap: int, brute_force: bool):
+
+def make_step(n: int, pair_cap: int, brute_force: bool,
+              lifecycle: bool = False):
     smin = jnp.zeros(2, jnp.float32)
     smax = jnp.full(2, WORLD, jnp.float32)
     obj_ids = jnp.arange(n, dtype=jnp.uint32)
@@ -56,19 +73,24 @@ def make_step(n: int, pair_cap: int, brute_force: bool):
         hit = (d2 <= r2) & (t + root >= 0)
         return jnp.where(hit, t - root, jnp.inf)
 
-    def collide(pos, radius, ray_dir):
+    def collide(pos, radius, ray_dir, alive):
         """Candidate pairs -> (i, j, valid) arrays + the pick_ray demo."""
         if brute_force:
             # reference's O(n^2) fallback mode (main.rs:485-505)
             ii, jj = jnp.meshgrid(jnp.arange(n), jnp.arange(n),
                                   indexing="ij")
-            mask = ii < jj
+            mask = (ii < jj) & alive[ii] & alive[jj]
             no_pick = (jnp.uint32(0xFFFF_FFFF), jnp.float32(jnp.inf),
                        jnp.bool_(False))
             return (ii.reshape(-1), jj.reshape(-1), mask.reshape(-1),
                     no_pick)
         bmin = pos - radius[:, None]
         bmax = pos + radius[:, None]
+        # dead balls leave the world: out-of-bounds objects take the
+        # layer's invalid path and never enter the tree (the TPU analog of
+        # the reference's entity deletion, main.rs:297-301)
+        bmin = jnp.where(alive[:, None], bmin, jnp.float32(2.0))
+        bmax = jnp.where(alive[:, None], bmax, jnp.float32(3.0))
         state = layer.build(SPEC, smin, smax, bmin, bmax, obj_ids,
                             min_depth=MIN_DEPTH)
         # pick_ray demo: nearest ball along a sweeping ray from the top
@@ -84,17 +106,51 @@ def make_step(n: int, pair_cap: int, brute_force: bool):
         valid = jnp.arange(pair_cap) < res.count
         return i, j, valid, (pick.obj_id, pick.distance, pick.found)
 
+    def lifecycle_update(pos, prev, radius, expires, sim, key):
+        """Expire + spawn (reference Lifecycle, main.rs:281-332): balls
+        past their lifetime die; up to SPAWNS_PER_FRAME new ones appear at
+        the top in top_k-selected dead slots, with exp-distributed radii
+        and uniform lifetimes — all fixed-shape."""
+        alive = expires > sim
+        K = SPAWNS_PER_FRAME
+        dead_score, idx = jax.lax.top_k((~alive).astype(jnp.int32), K)
+        k1, k2, k4 = jax.random.split(key, 3)
+        # radius exp(U(0.5, 2)) in reference pixels, scaled to the unit
+        # world (the reference screen is O(800) px)
+        r_new = jnp.exp(jax.random.uniform(k1, (K,), jnp.float32,
+                                           0.5, 2.0)) / 800.0
+        x_new = jax.random.uniform(k2, (K,), jnp.float32) \
+            * (1.0 - 2.0 * r_new) + r_new
+        y_new = 1.0 - r_new                      # enters at the top edge
+        life = jax.random.uniform(k4, (K,), jnp.float32,
+                                  LIFETIME_MIN, LIFETIME_MAX)
+        ok = dead_score == 1                      # only real dead slots
+        p_new = jnp.stack([x_new, y_new], axis=-1)
+        sel = jnp.where(ok[:, None], p_new, pos[idx])
+        pos = pos.at[idx].set(sel)
+        prev = prev.at[idx].set(sel)              # zero initial velocity
+        radius = radius.at[idx].set(jnp.where(ok, r_new, radius[idx]))
+        expires = expires.at[idx].set(jnp.where(ok, sim + life,
+                                                expires[idx]))
+        return pos, prev, radius, expires, expires > sim
+
     @jax.jit
-    def step(pos, prev, radius, ray_dir):
-        # Verlet + gravity (main.rs:334-350)
-        vel = (pos - prev) / DT
-        vel = vel.at[:, 1].add(GRAVITY * DT)
+    def step(pos, prev, radius, ray_dir, expires, sim, key):
+        if lifecycle:
+            pos, prev, radius, expires, alive = lifecycle_update(
+                pos, prev, radius, expires, sim, key)
+        else:
+            alive = jnp.ones((n,), jnp.bool_)
+
+        # Verlet + gravity (main.rs:334-350), frozen for dead slots
+        vel = jnp.where(alive[:, None], (pos - prev) / DT, 0.0)
+        vel = vel.at[:, 1].add(jnp.where(alive, GRAVITY * DT, 0.0))
         speed = jnp.linalg.norm(vel, axis=-1, keepdims=True)
         vel = jnp.where(speed > MAX_SPEED, vel * (MAX_SPEED / speed), vel)
         new_pos = pos + vel * DT
 
         # broadphase + circle narrow phase (main.rs:458-479)
-        i, j, valid, pick = collide(new_pos, radius, ray_dir)
+        i, j, valid, pick = collide(new_pos, radius, ray_dir, alive)
         d = new_pos[i] - new_pos[j]
         dist = jnp.linalg.norm(d, axis=-1)
         rsum = radius[i] + radius[j]
@@ -111,7 +167,9 @@ def make_step(n: int, pair_cap: int, brute_force: bool):
         # wall clamp (main.rs:513-531)
         new_pos = jnp.clip(new_pos, radius[:, None],
                            WORLD - radius[:, None])
-        return new_pos, pos, jnp.sum(hit.astype(jnp.int32)), pick
+        return (new_pos, pos, radius, expires,
+                jnp.sum(hit.astype(jnp.int32)),
+                jnp.sum(alive.astype(jnp.int32)), pick)
 
     return step
 
@@ -121,6 +179,8 @@ def main(argv=None):
     ap.add_argument("--balls", type=int, default=2500)  # max in reference
     ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--brute-force", action="store_true")
+    ap.add_argument("--lifecycle", action="store_true",
+                    help="spawn/expire balls per frame (main.rs:281-332)")
     ap.add_argument("--png-every", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -131,23 +191,34 @@ def main(argv=None):
     pos = jnp.asarray(rng.uniform(0.05, 0.95, (n, 2)).astype(np.float32))
     prev = pos - jnp.asarray(
         rng.normal(0, 0.001, (n, 2)).astype(np.float32))
+    if args.lifecycle:
+        # population ramps from empty, as in the reference
+        expires = jnp.zeros((n,), jnp.float32)
+    else:
+        expires = jnp.full((n,), jnp.inf, jnp.float32)
+    key = jax.random.PRNGKey(args.seed)
 
     pair_cap = -(-32 * n // 1024) * 1024   # tile-aligned for the TPU kernel
-    step = make_step(n, pair_cap=pair_cap, brute_force=args.brute_force)
+    step = make_step(n, pair_cap=pair_cap, brute_force=args.brute_force,
+                     lifecycle=args.lifecycle)
 
     def ray_at(frame):
         # sweeping ray from the top center (headless cursor analog)
         a = np.float32(-1.9 + 1.4 * ((frame % 120) / 120.0))
         return jnp.asarray([np.sin(a) * 0.4, np.cos(a)], jnp.float32)
 
-    pos, prev, _, _ = step(pos, prev, radius, ray_at(0))     # compile
-    jax.block_until_ready(pos)
+    out = step(pos, prev, radius, ray_at(0), expires,
+               jnp.float32(0.0), key)                        # compile
+    jax.block_until_ready(out[0])
 
     total_col = 0
     t0 = time.perf_counter()
     for frame in range(args.frames):
         fs = time.perf_counter()
-        pos, prev, ncol, pick = step(pos, prev, radius, ray_at(frame))
+        key, sub = jax.random.split(key)
+        sim = jnp.float32(frame * float(DT))
+        pos, prev, radius, expires, ncol, nalive, pick = step(
+            pos, prev, radius, ray_at(frame), expires, sim, sub)
         ncol = int(ncol)
         total_col += ncol
         elapsed = (time.perf_counter() - fs) * 1e6
@@ -155,12 +226,13 @@ def main(argv=None):
             # reference per-frame printout (main.rs:480-506)
             picked = (f"pick id={int(pick[0])} d={float(pick[1]):.3f}"
                       if bool(pick[2]) else "pick miss")
-            print(f"frame {frame:4d}: collisions: {ncol:6d} "
+            print(f"frame {frame:4d}: balls: {int(nalive):5d} "
+                  f"collisions: {ncol:6d} "
                   f"elapsed: {elapsed:9.0f}us  {picked}")
         if args.png_every and frame % args.png_every == 0:
             _render(np.asarray(pos), np.asarray(radius), frame)
     dt = time.perf_counter() - t0
-    print(f"{args.frames} frames, {n} balls, "
+    print(f"{args.frames} frames, {n} ball slots, "
           f"{dt / args.frames * 1e3:.2f} ms/frame, "
           f"total collisions {total_col}")
 
