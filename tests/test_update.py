@@ -56,7 +56,7 @@ def test_update_matches_build(spec, churn_frac):
         bmin = np.where(move[:, None], bmin + delta, bmin).astype(np.float32)
         bmax = np.where(move[:, None], bmax + delta, bmax).astype(np.float32)
         tracked = update(spec, tracked, smin, smax, bmin, bmax,
-                         churn_cap=n)
+                         churn_cap=n * spec.fanout)
         want = layer.build(spec, smin, smax, bmin, bmax, ids,
                            out_capacity=cap)
         _assert_state_equal(spec, tracked.state, want)
@@ -75,7 +75,7 @@ def test_update_objects_leaving_and_entering(spec):
         delta = rng.normal(0, 40.0, size=(n, spec.dim)).astype(np.float32)
         bmin = np.where(kick[:, None], bmin + delta, bmin).astype(np.float32)
         bmax = np.where(kick[:, None], bmax + delta, bmax).astype(np.float32)
-        tracked = update(spec, tracked, smin, smax, bmin, bmax, churn_cap=n)
+        tracked = update(spec, tracked, smin, smax, bmin, bmax, churn_cap=n * spec.fanout)
         want = layer.build(spec, smin, smax, bmin, bmax, ids,
                            out_capacity=cap)
         _assert_state_equal(spec, tracked.state, want)
@@ -94,7 +94,7 @@ def test_update_scan_parity(spec):
     mask = rng.random(n) < 0.3
     bmin = np.where(mask[:, None], bmin + delta, bmin).astype(np.float32)
     bmax = np.where(mask[:, None], bmax + delta, bmax).astype(np.float32)
-    tracked = update(spec, tracked, smin, smax, bmin, bmax, churn_cap=n)
+    tracked = update(spec, tracked, smin, smax, bmin, bmax, churn_cap=n * spec.fanout)
     fresh = layer.build(spec, smin, smax, bmin, bmax, ids, out_capacity=cap)
     _, got = layer.scan(spec, tracked.state, 1 << 15)
     _, want = layer.scan(spec, fresh, 1 << 15)
@@ -128,3 +128,29 @@ def test_update_no_change_is_identity(spec):
                             out_capacity=cap)
     t2 = update(spec, tracked, smin, smax, bmin, bmax, churn_cap=64)
     _assert_state_equal(spec, t2.state, tracked.state)
+
+
+@pytest.mark.parametrize("spec", [Index64_3D], ids=lambda s: s.name)
+def test_update_subcell_drift_is_zero_churn(spec):
+    """The real-physics case: EVERY object drifts a little but stays in
+    its cells — the diff is on emitted cells, not raw coordinates, so a
+    tiny churn_cap must suffice (no overflow) and parity must hold."""
+    n = 300
+    smin, smax, bmin, bmax, ids, rng = _scene(spec, n, seed=61)
+    cap = n * spec.fanout
+    tracked = build_tracked(spec, smin, smax, bmin, bmax, ids,
+                            out_capacity=cap)
+    for _ in range(3):
+        # drift far smaller than any cell: quantized bounds change for
+        # most objects, emitted cells for almost none
+        delta = rng.normal(0, 1e-4, size=(n, spec.dim)).astype(np.float32)
+        bmin = (bmin + delta).astype(np.float32)
+        bmax = (bmax + delta).astype(np.float32)
+        tracked = update(spec, tracked, smin, smax, bmin, bmax,
+                         churn_cap=64)
+        want = layer.build(spec, smin, smax, bmin, bmax, ids,
+                           out_capacity=cap)
+        if bool(tracked.state.overflow):
+            pytest.fail("sub-cell drift overflowed a 64-slot churn buffer"
+                        " — the diff is not on cells")
+        _assert_state_equal(spec, tracked.state, want)
