@@ -265,24 +265,184 @@ def bench_queries(n=100_000, iters=30):
     def get_dist(cand_ids, mask, *a):
         return jnp.where(mask, cand_ids.astype(jnp.float32), jnp.inf)
 
-    box = jax.jit(lambda s: query.test_box(spec, s, smin, smax,
-                                           (qmin, qmax), 65536)[1].count)
-    ray = jax.jit(lambda s: query.test_ray(spec, s, smin, smax, ro, rd,
-                                           0.0, np.inf, 65536)[1].count)
-    pick = jax.jit(lambda s: query.pick_ray(spec, s, smin, smax, ro, rd,
-                                            np.float32(1e9),
-                                            get_dist)[1].obj_id)
     out = {}
-    for name, fn in (("test_box", box), ("test_ray", ray),
-                     ("pick_ray", pick)):
-        jax.block_until_ready(fn(state))
-        times = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
+    for eng in ("tree", "linear"):
+        box = jax.jit(lambda s: query.test_box(
+            spec, s, smin, smax, (qmin, qmax), 65536,
+            engine=eng)[1].count)
+        ray = jax.jit(lambda s: query.test_ray(
+            spec, s, smin, smax, ro, rd, 0.0, np.inf, 65536,
+            engine=eng)[1].count)
+        pick = jax.jit(lambda s: query.pick_ray(
+            spec, s, smin, smax, ro, rd, np.float32(1e9), get_dist,
+            engine=eng)[1].obj_id)
+        for name, fn in (("test_box", box), ("test_ray", ray),
+                         ("pick_ray", pick)):
             jax.block_until_ready(fn(state))
-            times.append((time.perf_counter() - t0) * 1e3)
-        out[name] = float(np.percentile(times, 50))
+            times = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(state))
+                times.append((time.perf_counter() - t0) * 1e3)
+            out[f"{name}[{eng}]"] = float(np.percentile(times, 50))
     return out
+
+
+def bench_single_query_tree(n=1_000_000, iters=12):
+    """Single-query DEVICE time on a big tree via the sublinear engine
+    (singleq.py, VERDICT round 3 #2), measured by chain-length
+    differencing: per CLAUDE.md, block_until_ready can no-op on this
+    tunnel and a single blocking call is dominated by the ~30 ms host
+    sync, so we time k=1 vs k=5 data-dependent query chains (each query's
+    box/ray is perturbed by the previous result's count) and difference.
+    Queries are interactive-scale (a ~5%-extent box, a short pick ray —
+    the reference example's one-pick-per-frame pattern) with explicit
+    candidate/frontier caps sized for them; a one-shot overflow check
+    guards against silently timing a truncated query.
+    Returns ({name: device_ms_per_query}, any_overflow)."""
+    import jax
+    import jax.numpy as jnp
+
+    from broadphase_tpu import Index64_3D, layer, query
+    from broadphase_tpu import bench_caps
+
+    spec = Index64_3D
+    smin, smax, bmin, bmax, ids = _scene(spec.dim, n)
+    state = layer.build(spec, jnp.asarray(smin), jnp.asarray(smax),
+                        jnp.asarray(bmin), jnp.asarray(bmax),
+                        jnp.asarray(ids),
+                        out_capacity=bench_caps.tree_capacity(n))
+    jax.block_until_ready(state)
+    extent = float(smax[0] - smin[0])
+    q0 = jnp.asarray(smin + 0.25 * extent, jnp.float32)
+    q1 = jnp.asarray(smin + 0.30 * extent, jnp.float32)
+    ro = jnp.asarray(smin + 0.40 * extent, jnp.float32)
+    rd = jnp.asarray(np.ones(spec.dim, np.float32))
+    rmax = np.float32(0.20 * extent)          # short interactive pick ray
+    CCAP, FCAP = 32768, 1024
+
+    def get_dist(cand_ids, mask, *a):
+        return jnp.where(mask, cand_ids.astype(jnp.float32), jnp.inf)
+
+    def one(kind, s, eps):
+        if kind == "test_box":
+            _, res = query.test_box(spec, s, smin, smax,
+                                    (q0 + eps, q1 + eps), 8192,
+                                    engine="tree", candidate_cap=CCAP)
+            return res.count, res.overflow
+        if kind == "test_ray":
+            _, res = query.test_ray(spec, s, smin, smax, ro + eps,
+                                    rd, 0.0, rmax, 8192,
+                                    engine="tree", candidate_cap=CCAP,
+                                    frontier_cap=FCAP)
+            return res.count, res.overflow
+        _, res = query.pick_ray(spec, s, smin, smax, ro + eps,
+                                rd, rmax, get_dist,
+                                engine="tree", candidate_cap=CCAP,
+                                frontier_cap=FCAP)
+        return res.obj_id.astype(jnp.int32), res.overflow
+
+    def make_chain(kind, k):
+        @jax.jit
+        def fn(s):
+            c = jnp.int32(0)
+            ovf = jnp.bool_(False)
+            for _ in range(k):
+                eps = c.astype(jnp.float32) * jnp.float32(1e-9)
+                c, o = one(kind, s, eps)
+                c = c.astype(jnp.int32)
+                ovf = ovf | o
+            return c, ovf
+        return fn
+
+    out = {}
+    any_ovf = False
+    for kind in ("test_box", "test_ray", "pick_ray"):
+        p50 = {}
+        for k in (1, 5):
+            fn = make_chain(kind, k)
+            c, ovf = fn(state)
+            int(c)                              # compile + warm (readback)
+            any_ovf = any_ovf or bool(ovf)
+            ts = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                int(fn(state)[0])               # forced scalar readback
+                ts.append((time.perf_counter() - t0) * 1e3)
+            p50[k] = float(np.percentile(ts, 50))
+        out[kind] = (p50[5] - p50[1]) / 4.0
+    return out, any_ovf
+
+
+def bench_update_1M(n=1_000_000, iters=16):
+    """Moving-scene temporal-coherence bench (VERDICT round 3 #5): 3% of
+    objects jump across cells each frame, the rest drift within their
+    cells; update() (diff + tombstone bitonic-merge) vs a from-scratch
+    build() on identical bounds, with a one-shot exact-parity check.
+    Returns (update_p50_ms, build_p50_ms, parity_ok, overflow)."""
+    import jax
+    import jax.numpy as jnp
+
+    from broadphase_tpu import Index64_3D, layer
+    from broadphase_tpu import bench_caps
+    from broadphase_tpu.update import build_tracked, update
+
+    spec = Index64_3D
+    smin, smax, bmin, bmax, ids = _scene(spec.dim, n)
+    tree_cap = bench_caps.tree_capacity(n)
+    # churn_cap keeps tree_cap + 2*churn under the next pow2 boundary of
+    # the bitonic merge (2^22 at 1M)
+    churn_cap = 245_760 if n >= 500_000 else 16 * 1024
+    rng = np.random.default_rng(3)
+    moving = rng.random(n) < 0.03
+    jump = (rng.uniform(-5.0, 5.0, size=bmin.shape).astype(np.float32)
+            * moving[:, None])
+    drift = np.float32(1e-4)                  # sub-cell, all objects
+    A = (jnp.asarray(bmin), jnp.asarray(bmax))
+    B = (jnp.asarray(bmin + jump + drift), jnp.asarray(bmax + jump + drift))
+
+    tracked = build_tracked(spec, smin, smax, A[0], A[1], ids,
+                            out_capacity=tree_cap)
+    jax.block_until_ready(tracked)
+
+    upd = jax.jit(lambda tr, lo, hi: update(spec, tr, smin, smax, lo, hi,
+                                            churn_cap))
+    bld = jax.jit(lambda lo, hi: layer.build(
+        spec, jnp.asarray(smin), jnp.asarray(smax), lo, hi,
+        jnp.asarray(ids), out_capacity=tree_cap))
+
+    # one-shot exact parity (self-verifying, like the 30k scan gate)
+    t_b = upd(tracked, *B)
+    want = bld(*B)
+    jax.block_until_ready((t_b, want))
+    parity = layer.layers_equal(spec, t_b.state, want)
+    ovf = bool(t_b.state.overflow)
+
+    # steady state: alternate A/B so every frame has real churn; the
+    # tracked state chains through, so the timing chain is data-dependent
+    for w in range(3):
+        tracked = upd(tracked, *(A if w % 2 else B))
+    jax.block_until_ready(tracked)
+    batch = 8
+    times = []
+    for _ in range(max(1, iters // batch)):
+        t0 = time.perf_counter()
+        for i in range(batch):
+            tracked = upd(tracked, *(A if i % 2 else B))
+        jax.block_until_ready(tracked)
+        times.append((time.perf_counter() - t0) / batch * 1e3)
+    upd_p50 = float(np.percentile(times, 50))
+
+    d_args = B
+    jax.block_until_ready(bld(*d_args))
+    times = []
+    for _ in range(max(1, iters // batch)):
+        t0 = time.perf_counter()
+        outs = [bld(*d_args) for _ in range(batch)]
+        jax.block_until_ready(outs)
+        times.append((time.perf_counter() - t0) / batch * 1e3)
+    bld_p50 = float(np.percentile(times, 50))
+    return upd_p50, bld_p50, parity, ovf
 
 
 def bench_queries_batched(n=100_000, Q=512, iters=30):
@@ -384,7 +544,18 @@ def child_main():
           f"(reference: ~6 ms on i5-6600K)", file=sys.stderr)
 
     q = bench_queries(100_000 if on_tpu else 10_000)
-    print(f"queries on 100k-scene p50 ms: {q}", file=sys.stderr)
+    print(f"queries on 100k-scene blocking p50 ms (incl ~30 ms host "
+          f"sync): {q}", file=sys.stderr)
+
+    sq, sq_ovf = bench_single_query_tree(1_000_000 if on_tpu else 50_000)
+    print(f"single-query tree-engine DEVICE ms on 1M scene "
+          f"(chain-differenced): {sq} overflow={sq_ovf}", file=sys.stderr)
+
+    u_p50, b_p50, u_parity, u_ovf = bench_update_1M(
+        1_000_000 if on_tpu else 50_000)
+    print(f"update_1M (3% cross-cell churn): update p50={u_p50:.3f} ms "
+          f"vs build p50={b_p50:.3f} ms, parity={u_parity} "
+          f"overflow={u_ovf}", file=sys.stderr)
 
     qb = bench_queries_batched(100_000 if on_tpu else 10_000,
                                Q=512 if on_tpu else 16)
@@ -430,10 +601,19 @@ def child_main():
         # fast-but-wrong number (stderr already warns; this puts it in the
         # record itself) — includes the ball-pit and merge scenes (ADVICE
         # round 3)
-        "overflow": bool(ovf_small or ovf_big or bp_ovf or m_ovf),
+        "overflow": bool(ovf_small or ovf_big or bp_ovf or m_ovf or u_ovf
+                         or sq_ovf),
         # pair-for-pair 30k device-vs-C++-oracle check, run unconditionally
         # this process; false invalidates the record (orchestrator retries)
-        "verified": bool(verified),
+        # — the update() bench's exact-parity check folds in too
+        "verified": bool(verified and u_parity),
+        # round-4 engines (secondary metrics, same record); sq_ovf means a
+        # query buffer truncated — the timing would be for an incomplete
+        # query, so it invalidates these lines (and the record's overflow)
+        "single_query_1M_ms": {k: round(v, 4) for k, v in sq.items()},
+        "single_query_overflow": bool(sq_ovf),
+        "update_1M_p50_ms": round(u_p50, 4),
+        "build_1M_p50_ms": round(b_p50, 4),
     }))
 
 

@@ -12,7 +12,10 @@ re-runs the adversarial kernel regressions COMPILED on the actual chip
   * stream-compaction parity, including unaligned lengths;
   * run-ends (adjacent-LCA suffix-min kernel) parity vs the XLA path;
   * a 30k generated scene scanned on device vs the C++ sequential oracle,
-    pair-for-pair.
+    pair-for-pair;
+  * the round-4 engines compiled: bitonic_merge vs lax.sort, the
+    temporal-coherence update() vs a from-scratch build (bit-identical
+    trees), and the sublinear single-query engine vs the linear replay.
 
 Run:  python -u -m broadphase_tpu.tools.tpu_smoke
 Exit status 0 = all green.  Shapes are stable so reruns hit .jax_cache.
@@ -344,6 +347,114 @@ def smoke_scan_emit_once_split():
     want = native.scan_seq(keys_np, ids_np, pair_slack=32)
     assert got.shape == want.shape and np.array_equal(got, want), (
         got.shape, want.shape)
+
+
+@_case("bitonic_merge: sorted-column merge vs lax.sort, compiled")
+def smoke_bitonic_merge():
+    # round-4 merge primitive (update() + sorted-layer merge fast path);
+    # CI runs it on CPU-XLA only — exercise the compiled roll/select path
+    from ..ops.merge import bitonic_merge
+
+    rng = np.random.default_rng(23)
+    for na, nb in ((4096, 4096), (100_000, 4_096), (65_536, 1)):
+        # unique key tuples across both inputs (the documented contract)
+        keys = rng.choice(np.uint64(1) << 40, size=na + nb, replace=False)
+        hi = (keys >> 32).astype(np.uint32)
+        lo = (keys & 0xFFFFFFFF).astype(np.uint32)
+        pay = rng.integers(0, 1 << 32, na + nb, dtype=np.uint32)
+        oa = np.lexsort((lo[:na], hi[:na]))
+        ob = np.lexsort((lo[na:], hi[na:]))
+        cols_a = (hi[:na][oa], lo[:na][oa], pay[:na][oa])
+        cols_b = (hi[na:][ob], lo[na:][ob], pay[na:][ob])
+        out = bitonic_merge([jnp.asarray(c) for c in cols_a],
+                            [jnp.asarray(c) for c in cols_b], num_keys=2)
+        want_o = np.lexsort((lo, hi))
+        for got, want in zip(out, (hi[want_o], lo[want_o], pay[want_o])):
+            # output is next_pow2-padded; pads sort to the tail
+            np.testing.assert_array_equal(np.asarray(got)[: na + nb], want)
+
+
+@_case("update: temporal-coherence frame advance vs build, compiled")
+def smoke_update_vs_build():
+    from ..index import Index64_3D
+    from .. import layer
+    from ..update import build_tracked, update
+    from ..utils import gen
+
+    spec = Index64_3D
+    n = 20_000
+    sc = gen.gen_boxes(count=n, density=1.0 / 1000.0, seed=6)
+    cap = 4 * n
+    tracked = build_tracked(spec, sc.system_min, sc.system_max,
+                            sc.bounds_min, sc.bounds_max, sc.ids,
+                            out_capacity=cap)
+    rng = np.random.default_rng(29)
+    bmin, bmax = np.asarray(sc.bounds_min), np.asarray(sc.bounds_max)
+    for frame in range(2):
+        move = rng.random(n) < 0.05
+        delta = rng.normal(0, 12.0, size=bmin.shape).astype(np.float32)
+        bmin = np.where(move[:, None], bmin + delta, bmin).astype(np.float32)
+        bmax = np.where(move[:, None], bmax + delta, bmax).astype(np.float32)
+        tracked = update(spec, tracked, sc.system_min, sc.system_max,
+                         bmin, bmax, churn_cap=16_384)
+        want = layer.build(spec, sc.system_min, sc.system_max,
+                           bmin, bmax, sc.ids, out_capacity=cap)
+        assert not bool(tracked.state.overflow)
+        assert layer.layers_equal(spec, tracked.state, want), f"frame {frame}"
+        cnt = int(want.count)
+        np.testing.assert_array_equal(np.asarray(tracked.state.aux[:cnt]),
+                                      np.asarray(want.aux[:cnt]))
+
+
+@_case("singleq: tree-descent engine vs linear replay, compiled")
+def smoke_singleq_vs_linear():
+    from ..index import Index64_3D
+    from .. import layer, query
+    from ..utils import gen
+
+    spec = Index64_3D
+    sc = gen.gen_boxes(count=20_000, density=1.0 / 1000.0, seed=7)
+    st = layer.build(spec, sc.system_min, sc.system_max,
+                     sc.bounds_min, sc.bounds_max, sc.ids)
+    smin = np.asarray(sc.system_min, np.float32)
+    smax = np.asarray(sc.system_max, np.float32)
+    # small interactive-scale box (a few percent of the extent per axis):
+    # large boxes legitimately overflow the fixed candidate buffer, which
+    # flags overflow — a different case than the parity this checks
+    qmin = (smin + 0.25 * (smax - smin)).astype(np.float32)
+    qmax = (qmin + 0.04 * (smax - smin)).astype(np.float32)
+    ro = smin.copy()
+    rd = (smax - smin).astype(np.float32)
+
+    def res_tuple(res):
+        k = int(res.count)
+        return list(np.asarray(res.ids[:k])), k, bool(res.overflow)
+
+    _, want = query.test_box(spec, st, smin, smax, (qmin, qmax),
+                             result_cap=8192, engine="linear")
+    _, got = query.test_box(spec, st, smin, smax, (qmin, qmax),
+                            result_cap=8192, engine="tree",
+                            candidate_cap=16384)
+    assert res_tuple(got) == res_tuple(want)
+
+    _, want = query.test_ray(spec, st, smin, smax, ro, rd, 0.0, np.inf,
+                             result_cap=8192, engine="linear")
+    _, got = query.test_ray(spec, st, smin, smax, ro, rd, 0.0, np.inf,
+                            result_cap=8192, engine="tree",
+                            candidate_cap=16384, frontier_cap=1024)
+    assert res_tuple(got) == res_tuple(want)
+
+    def get_dist(cand_ids, mask, *a):
+        return jnp.where(mask, cand_ids.astype(jnp.float32), jnp.inf)
+
+    _, want = query.pick_ray(spec, st, smin, smax, ro, rd,
+                             np.float32(1e9), get_dist, engine="linear")
+    _, got = query.pick_ray(spec, st, smin, smax, ro, rd,
+                            np.float32(1e9), get_dist, engine="tree",
+                            candidate_cap=16384, frontier_cap=1024)
+    assert (int(got.obj_id) == int(want.obj_id)
+            and bool(got.found) == bool(want.found)
+            and float(got.distance) == float(want.distance))
 
 
 def main():

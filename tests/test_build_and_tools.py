@@ -119,7 +119,7 @@ def test_ball_pit_example_runs():
          "--balls", "100", "--frames", "5"],
         capture_output=True, text=True, env=env, cwd=root, timeout=1500)
     assert r.returncode == 0, r.stderr
-    assert "frames, 100 balls" in r.stdout
+    assert "frames, 100 ball slots" in r.stdout
 
 
 def test_layers_equal_and_checkpoint_roundtrip():
