@@ -140,26 +140,29 @@ def test_box_linear(spec: IndexSpec, state: LayerState, system_min,
 # Ray queries (reference RayTestGeometry, src/geom.rs:459-689)
 # ---------------------------------------------------------------------------
 
-def ray_intervals(spec: IndexSpec, state: LayerState, system_min, system_max,
-                  ray_origin, ray_dir, range_min=0.0, range_max=jnp.inf,
-                  max_depth: Optional[int] = None
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-element ray slab interval after replaying the halving path.
+def ray_intervals_keys(spec: IndexSpec, keys, system_min, system_max,
+                       ray_origin, ray_dir, range_min=0.0,
+                       range_max=jnp.inf,
+                       max_depth: Optional[int] = None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-KEY ray slab interval after replaying the halving path.
 
     Bit-exact replay of ``RayTestGeometry``: the system-bounds clamp
     (``src/geom.rs:515-544``), then per level the center-plane distance
-    updates incl. the axis-parallel kill rule (``:565-575``).
-    Returns (rmin, rmax, live): (cap,) f32 each.
+    updates incl. the axis-parallel kill rule (``:565-575``).  Works on
+    any (N,) key array (the linear engine passes the whole tree, the
+    sublinear engine its gathered candidates).
+    Returns (rmin, rmax): (N,) f32 each.
     """
-    cap = state.ids.shape[0]
     dim = spec.dim
     smin = jnp.asarray(system_min, jnp.float32)
     smax = jnp.asarray(system_max, jnp.float32)
     ro = jnp.asarray(ray_origin, jnp.float32)
     rd = jnp.asarray(ray_dir, jnp.float32)
 
-    origin = bidx.origin_of(spec, state.keys)       # tuple of (cap,) u32
-    depth = bidx.depth_of(spec, state.keys)
+    origin = bidx.origin_of(spec, keys)             # tuple of (cap,) u32
+    cap = origin[0].shape[0]
+    depth = bidx.depth_of(spec, keys)
     if max_depth is None:
         replay = depth
     else:
@@ -205,6 +208,19 @@ def ray_intervals(spec: IndexSpec, state: LayerState, system_min, system_max,
         lo = jnp.where(active & side, center, lo)
         hi = jnp.where(active & ~side, center, hi)
 
+    return rmin, rmax
+
+
+def ray_intervals(spec: IndexSpec, state: LayerState, system_min, system_max,
+                  ray_origin, ray_dir, range_min=0.0, range_max=jnp.inf,
+                  max_depth: Optional[int] = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Whole-tree :func:`ray_intervals_keys` + a live-lane mask.
+    Returns (rmin, rmax, live): (cap,) each."""
+    rmin, rmax = ray_intervals_keys(spec, state.keys, system_min,
+                                    system_max, ray_origin, ray_dir,
+                                    range_min, range_max, max_depth)
+    cap = state.ids.shape[0]
     live = jnp.arange(cap, dtype=jnp.int32) < state.count
     return rmin, rmax, live
 

@@ -29,15 +29,20 @@ Two skeletons:
   ray slab interval per cell with the *identical* f32 expressions as
   ``query.ray_intervals``; cells with empty intervals are pruned.  Elements
   AT each passing cell (the range prefix before the first child) are
-  collected as (start, len) ranges instead of a full-array mask — the
-  candidate count is O(cells the ray actually touches), not O(n).
+  collected as (start, len) ranges instead of a full-array mask.  The
+  descent EARLY-EXITS as soon as every element still under the frontier
+  fits the candidate buffer (elements under a ray's frontier shrink ~4x
+  per level, so this is a handful of levels on any tree) — the per-level
+  binary searches are the dominant cost (~8·F·log2(n) random gathers),
+  so stopping early is what makes single rays cheap at 1M scale.
 
 Bit-exactness: candidate ranges are a *superset* of all passing cells, and
 the final accept test replays the same f32 midpoint-halving state the
-linear engine uses (``geom.cell_bounds_f32`` for boxes; the carried
-interval for rays), so results — ids, counts, pick winners including
-distance ties — are identical to :mod:`broadphase_tpu.query` and therefore
-to the sequential oracle.  Differential tests: ``tests/test_singleq.py``.
+linear engine uses (``geom.cell_bounds_f32`` for boxes;
+``query.ray_intervals_keys`` on the gathered keys for rays), so results —
+ids, counts, pick winners including distance ties — are identical to
+:mod:`broadphase_tpu.query` and therefore to the sequential oracle.
+Differential tests: ``tests/test_singleq.py``.
 
 Superset proof sketch (box): per axis the query-overlapping cells at depth
 d form one contiguous run [a_lo(d), a_hi(d)] whose endpoints are exactly
@@ -70,7 +75,7 @@ from .ops.compact import stable_compact
 from .ops.search import (expand_runs, lower_bound_keys, segmented_broadcast,
                          upper_bound_keys)
 from .query import (PickResult, _argmin_pick_ranked, _flag_truncation,
-                    _ray_visit_rank, _unique_compact)
+                    _ray_visit_rank, _unique_compact, ray_intervals_keys)
 
 # Defaults for the fixed-capacity buffers (static shapes; overflow flagged).
 CANDIDATE_CAP = 4096
@@ -227,14 +232,27 @@ def test_box(spec: IndexSpec, state: LayerState, system_min, system_max,
 def _ray_frontier_ranges(spec: IndexSpec, state: LayerState,
                          system_min, system_max, ray_origin, ray_dir,
                          range_min, range_max, nearest_cap,
-                         levels: int, frontier_cap: int):
-    """Descend the tree along the ray; return (starts, lens, rmins, ovf).
+                         levels: int, frontier_cap: int,
+                         stop_total: int = 0):
+    """Descend the tree along the ray; return (starts, lens, ovf).
 
     starts/lens: ((levels+1)*F,) int32 ranges of elements whose OWN cell's
     accumulated slab interval passes (rmin < rmax, rmin < nearest_cap); the
     interval updates replicate ``query.ray_intervals`` bit for bit.  Level
     row ``levels`` holds the depth-cutoff remainders (whole surviving
     slices, reference ``src/layer.rs:189-196``).
+
+    ``stop_total`` > 0 enables the EARLY EXIT that makes big-tree rays
+    cheap: the descent stops as soon as (elements already collected +
+    elements still under the frontier) fits in ``stop_total`` lanes and
+    reports the surviving slices whole.  Each level's binary searches cost
+    ~8·F·log2(n) random gathers (~10 ns each on TPU), so descending all
+    ``axis_bits`` levels of a 1M tree costs tens of ms — while the
+    elements under a ray's frontier shrink ~4x per level, so a few levels
+    suffice to fit any reasonable candidate buffer.  The extra elements
+    reported this way have NOT had their own cell's interval tested; the
+    caller must re-test candidates exactly (``query.ray_intervals_keys``
+    on the gathered keys), which it does anyway for bit-parity.
     """
     F = frontier_cap
     dim = spec.dim
@@ -340,11 +358,24 @@ def _ray_frontier_ranges(spec: IndexSpec, state: LayerState,
                 compacted[nk + 4], compacted[nk + 5],
                 rstart, rlen, ovf)
 
-    carry = (kcols0, flo0, fhi0, kept0, lo0, hi0, rmin_f0, rmax_f0,
-             rstart0, rlen0, jnp.bool_(False))
+    def cond(c):
+        level = c[0]
+        flo_c, fhi_c, kept_c, rlen_c = c[2], c[3], c[4], c[10]
+        go = level < levels
+        if stop_total > 0:
+            act = jnp.arange(F, dtype=jnp.int32) < kept_c
+            rem = jnp.sum(jnp.where(act, fhi_c - flo_c, 0))
+            go = go & ((rem + jnp.sum(rlen_c)) > jnp.int32(stop_total))
+        return go
+
+    def wbody(c):
+        return (c[0] + 1,) + body(c[0], c[1:])
+
+    carry = (jnp.int32(0), kcols0, flo0, fhi0, kept0, lo0, hi0, rmin_f0,
+             rmax_f0, rstart0, rlen0, jnp.bool_(False))
     if levels > 0:
-        carry = jax.lax.fori_loop(0, levels, body, carry)
-    (_, flo, fhi, kept, _, _, _, _, rstart, rlen, ovf) = carry
+        carry = jax.lax.while_loop(cond, wbody, carry)
+    (_, _, flo, fhi, kept, _, _, _, _, rstart, rlen, ovf) = carry
 
     # depth cutoff: surviving slices report whole (truncated replay passed)
     factive = jnp.arange(F, dtype=jnp.int32) < kept
@@ -361,17 +392,25 @@ def test_ray(spec: IndexSpec, state: LayerState, system_min, system_max,
              frontier_cap: int = FRONTIER_CAP
              ) -> Tuple[LayerState, TestResult]:
     """Sublinear ``Layer::test_ray`` (``src/layer.rs:327-352``): identical
-    results to :func:`query.test_ray`; device work scales with the cells
-    the ray touches, not the tree size."""
+    results to :func:`query.test_ray`; the frontier descends only until
+    the candidates fit the buffer (early exit), then the gathered
+    candidates get the exact per-element interval replay
+    (``query.ray_intervals_keys``) — a superset filtered by the linear
+    engine's own accept test, so results are bit-identical."""
     state = sort(spec, state)
     levels = spec.axis_bits if max_depth is None \
         else min(int(max_depth), spec.axis_bits)
     starts, lens, f_ovf = _ray_frontier_ranges(
         spec, state, system_min, system_max, ray_origin, ray_dir,
-        range_min, range_max, jnp.inf, levels, frontier_cap)
-    ids, _, _, valid, c_ovf = _gather_ranges(spec, state, starts, lens,
-                                             candidate_cap)
-    res = _unique_compact(ids, valid, result_cap)
+        range_min, range_max, jnp.inf, levels, frontier_cap,
+        stop_total=candidate_cap)
+    ids, keys, _, valid, c_ovf = _gather_ranges(spec, state, starts, lens,
+                                                candidate_cap)
+    rmn, rmx = ray_intervals_keys(spec, keys, system_min, system_max,
+                                  ray_origin, ray_dir, range_min,
+                                  range_max, max_depth)
+    hit = (rmn < rmx) & valid
+    res = _unique_compact(ids, hit, result_cap)
     res = res._replace(overflow=res.overflow | c_ovf | f_ovf)
     return state, _flag_truncation(state, res)
 
@@ -395,11 +434,14 @@ def pick_ray(spec: IndexSpec, state: LayerState, system_min, system_max,
         else min(int(max_depth), spec.axis_bits)
     starts, lens, f_ovf = _ray_frontier_ranges(
         spec, state, system_min, system_max, ray_origin, ray_dir,
-        0.0, md, md, levels, frontier_cap)
+        0.0, md, md, levels, frontier_cap, stop_total=candidate_cap)
     ids, keys, src, valid, c_ovf = _gather_ranges(spec, state, starts, lens,
                                                   candidate_cap)
-    d = jnp.asarray(get_dist(ids, valid, *get_dist_args), jnp.float32)
-    d = jnp.where(jnp.isfinite(d) & valid, d, jnp.inf)
+    rmn, rmx = ray_intervals_keys(spec, keys, system_min, system_max,
+                                  ray_origin, ray_dir, 0.0, md, max_depth)
+    cand = (rmn < rmx) & (rmn < md) & valid
+    d = jnp.asarray(get_dist(ids, cand, *get_dist_args), jnp.float32)
+    d = jnp.where(jnp.isfinite(d) & cand, d, jnp.inf)
     g_origin = bidx.origin_of(spec, keys)
     g_depth = bidx.depth_of(spec, keys)
     if max_depth is not None:

@@ -179,12 +179,16 @@ def test_tree_overflow_flags(spec):
                             candidate_cap=64)
     assert bool(res.overflow)
 
-    # tiny frontier on a ray through the scene center
+    # tiny frontier on a ray through the scene center.  candidate_cap must
+    # be SMALL too: the early-exit rule stops the descent (and so never
+    # pressures the frontier) as soon as everything under it fits the
+    # candidate buffer — with both caps tiny, the descent must continue
+    # and the 2-slot frontier truncates, which must be flagged.
     origin = np.full(spec.dim, -49.0, np.float32)
     direction = np.ones(spec.dim, np.float32)
     _, res = singleq.test_ray(spec, state, smin, smax, origin, direction,
                               0.0, np.inf, result_cap=4096,
-                              candidate_cap=8192, frontier_cap=2)
+                              candidate_cap=64, frontier_cap=2)
     assert bool(res.overflow)
 
 
