@@ -37,6 +37,30 @@ def test_bitonic_merge_matches_sort(na, nb, ncols, num_keys):
         assert np.all(np.asarray(g[n:]) == np.uint32(0xFFFFFFFF))
 
 
+@pytest.mark.parametrize("na,nb", [(5000, 3000), (8192, 8192), (6000, 100)])
+@pytest.mark.parametrize("tail_rows", [1, 16, 2048, 32768])
+def test_bitonic_merge_hybrid_tail(na, nb, tail_rows):
+    """Exercise the hybrid cutoff: sizes ABOVE the default tail_rows so the
+    compare-exchange stages actually run, across cutoffs that put the
+    network/row-sort boundary at every interesting place (pure network,
+    mid-network handoff, default, and cutoff > m i.e. pure row sort)."""
+    rng = np.random.default_rng(na + nb * 7 + tail_rows)
+    def make(n, parity):
+        k = np.sort(rng.integers(0, 1 << 20, size=n, dtype=np.uint32))
+        i = np.arange(n, dtype=np.uint32) * 2 + parity  # unique across inputs
+        return jnp.asarray(k), jnp.asarray(i)
+
+    a = make(na, 0)
+    b = make(nb, 1)
+    got = bitonic_merge(a, b, num_keys=2, tail_rows=tail_rows)
+    ref = jax.lax.sort(tuple(jnp.concatenate([x, y]) for x, y in zip(a, b)),
+                       num_keys=2)
+    n = na + nb
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g[:n]), np.asarray(r[:n]))
+    assert np.all(np.asarray(got[0][n:]) == np.uint32(0xFFFFFFFF))
+
+
 def test_bitonic_merge_with_pad_tails():
     """Layer-shaped inputs: live prefix + all-ones pad tail on both sides."""
     rng = np.random.default_rng(3)
