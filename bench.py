@@ -193,14 +193,88 @@ def _verify_30k():
         keys_np, ids_np, _ = layer.tree_to_numpy(spec, st)
         want = native.scan_seq(keys_np, ids_np, pair_slack=32)
         ok = got.shape == want.shape and bool(np.array_equal(got, want))
+        # canonical=False product contract (VERDICT r4 #3): the unsorted
+        # pair list must be the SAME SET as the C++ oracle's canonical
+        # list — row-sort on host and compare
+        st, ures = layer.scan(spec, st, 10 * n, emit_capacity=16 * n,
+                              canonical=False)
+        ucnt = int(ures.count)
+        ugot = np.stack([np.asarray(ures.pairs_a, np.uint32)[:ucnt],
+                         np.asarray(ures.pairs_b, np.uint32)[:ucnt]],
+                        axis=1)
+        uok = not bool(ures.overflow) and ugot.shape == want.shape
+        if uok:
+            order = np.lexsort((ugot[:, 1], ugot[:, 0]))
+            uok = bool(np.array_equal(ugot[order], want))
+        ok = ok and uok
         print(f"VERIFY-30k: {'OK' if ok else 'FAILED'} — device "
-              f"{got.shape[0]} pairs vs native {want.shape[0]} "
+              f"{got.shape[0]} pairs vs native {want.shape[0]}, "
+              f"unsorted-set {'OK' if uok else 'FAILED'} "
               f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
         return ok
     except Exception as e:  # noqa: BLE001 — a broken verify is a failure
         print(f"VERIFY-30k: FAILED ({type(e).__name__}: {e})",
               file=sys.stderr)
         return False
+
+
+def bench_full_step_unsorted(n, iters=30, warmup=3):
+    """The ``canonical=False`` product contract as a verified headline
+    metric (VERDICT r4 #3): same full step, but the scan returns the
+    emit-once-unique pair list in emission order, skipping the canonical
+    presentation sort — the measured 1M bottleneck.  Verified here by SET
+    equality against the canonical step's (oracle-checked) output: same
+    count, identical rows after a host row-sort.
+    Returns (p50_ms, pairs, overflow, set_ok)."""
+    import jax
+    import jax.numpy as jnp
+
+    from broadphase_tpu import Index64_3D, layer
+    from broadphase_tpu import bench_caps
+
+    spec = Index64_3D
+    smin, smax, bmin, bmax, ids = _scene(spec.dim, n)
+    pair_cap = bench_caps.pair_capacity(n)
+    emit_cap = bench_caps.emit_capacity(n)
+    tree_cap = bench_caps.tree_capacity(n)
+
+    def make_step(canonical):
+        @jax.jit
+        def step(bounds_min, bounds_max, obj_ids):
+            state = layer.build(spec, jnp.asarray(smin), jnp.asarray(smax),
+                                bounds_min, bounds_max, obj_ids,
+                                out_capacity=tree_cap)
+            state, result = layer.scan(spec, state, pair_cap,
+                                       emit_capacity=emit_cap,
+                                       canonical=canonical)
+            return (result.pairs_a, result.pairs_b, result.count,
+                    result.overflow)
+        return step
+
+    d_args = tuple(jax.device_put(x) for x in (bmin, bmax, ids))
+    step_u = make_step(False)
+    out_u = step_u(*d_args)
+    jax.block_until_ready(out_u)
+
+    # set-equality vs the canonical step (itself oracle-verified at 30k
+    # every run, and at full scale under BROADPHASE_VERIFY=1)
+    out_c = make_step(True)(*d_args)
+    jax.block_until_ready(out_c)
+    cnt_u, cnt_c = int(out_u[2]), int(out_c[2])
+    got = np.stack([np.asarray(out_u[0], np.uint32)[:cnt_u],
+                    np.asarray(out_u[1], np.uint32)[:cnt_u]], axis=1)
+    want = np.stack([np.asarray(out_c[0], np.uint32)[:cnt_c],
+                     np.asarray(out_c[1], np.uint32)[:cnt_c]], axis=1)
+    set_ok = (not bool(out_u[3])) and cnt_u == cnt_c
+    if set_ok:
+        order = np.lexsort((got[:, 1], got[:, 0]))
+        set_ok = bool(np.array_equal(got[order], want))
+
+    p50, _lat = _pipelined_p50(step_u, d_args,
+                               iters=90 if n < 100_000 else iters,
+                               warmup=warmup,
+                               batch=30 if n < 100_000 else 10)
+    return p50, cnt_u, bool(out_u[3]), set_ok
 
 
 def bench_ball_pit_2d(n=10_000, iters=20):
@@ -374,12 +448,15 @@ def bench_single_query_tree(n=1_000_000, iters=12):
     return out, any_ovf
 
 
-def bench_update_1M(n=1_000_000, iters=16):
-    """Moving-scene temporal-coherence bench (VERDICT round 3 #5): 3% of
-    objects jump across cells each frame, the rest drift within their
-    cells; update() (diff + tombstone bitonic-merge) vs a from-scratch
-    build() on identical bounds, with a one-shot exact-parity check.
-    Returns (update_p50_ms, build_p50_ms, parity_ok, overflow)."""
+def bench_update_sweep(n=1_000_000, fracs=(0.005, 0.01, 0.03, 0.10),
+                       iters=16):
+    """Moving-scene temporal-coherence bench (VERDICT round 4 #1): a CHURN
+    SWEEP — at each fraction, that share of objects jump across cells each
+    frame while the rest drift within their cells; update() (object-granular
+    diff + tombstone bitonic-merge) vs a from-scratch build() on identical
+    bounds, each sweep point with a one-shot exact-parity check.
+    Returns (sweep {frac: p50_ms}, build_p50_ms, parity_all, overflow_any,
+    break_even_frac — the largest benched fraction where update wins)."""
     import jax
     import jax.numpy as jnp
 
@@ -390,59 +467,70 @@ def bench_update_1M(n=1_000_000, iters=16):
     spec = Index64_3D
     smin, smax, bmin, bmax, ids = _scene(spec.dim, n)
     tree_cap = bench_caps.tree_capacity(n)
-    # churn_cap keeps tree_cap + 2*churn under the next pow2 boundary of
-    # the bitonic merge (2^22 at 1M)
-    churn_cap = 245_760 if n >= 500_000 else 16 * 1024
-    rng = np.random.default_rng(3)
-    moving = rng.random(n) < 0.03
-    jump = (rng.uniform(-5.0, 5.0, size=bmin.shape).astype(np.float32)
-            * moving[:, None])
-    drift = np.float32(1e-4)                  # sub-cell, all objects
-    A = (jnp.asarray(bmin), jnp.asarray(bmax))
-    B = (jnp.asarray(bmin + jump + drift), jnp.asarray(bmax + jump + drift))
 
-    tracked = build_tracked(spec, smin, smax, A[0], A[1], ids,
-                            out_capacity=tree_cap)
-    jax.block_until_ready(tracked)
-
-    upd = jax.jit(lambda tr, lo, hi: update(spec, tr, smin, smax, lo, hi,
-                                            churn_cap))
     bld = jax.jit(lambda lo, hi: layer.build(
         spec, jnp.asarray(smin), jnp.asarray(smax), lo, hi,
         jnp.asarray(ids), out_capacity=tree_cap))
-
-    # one-shot exact parity (self-verifying, like the 30k scan gate)
-    t_b = upd(tracked, *B)
-    want = bld(*B)
-    jax.block_until_ready((t_b, want))
-    parity = layer.layers_equal(spec, t_b.state, want)
-    ovf = bool(t_b.state.overflow)
-
-    # steady state: alternate A/B so every frame has real churn; the
-    # tracked state chains through, so the timing chain is data-dependent
-    for w in range(3):
-        tracked = upd(tracked, *(A if w % 2 else B))
-    jax.block_until_ready(tracked)
     batch = 8
-    times = []
-    for _ in range(max(1, iters // batch)):
-        t0 = time.perf_counter()
-        for i in range(batch):
-            tracked = upd(tracked, *(A if i % 2 else B))
-        jax.block_until_ready(tracked)
-        times.append((time.perf_counter() - t0) / batch * 1e3)
-    upd_p50 = float(np.percentile(times, 50))
 
-    d_args = B
-    jax.block_until_ready(bld(*d_args))
-    times = []
-    for _ in range(max(1, iters // batch)):
-        t0 = time.perf_counter()
-        outs = [bld(*d_args) for _ in range(batch)]
-        jax.block_until_ready(outs)
-        times.append((time.perf_counter() - t0) / batch * 1e3)
-    bld_p50 = float(np.percentile(times, 50))
-    return upd_p50, bld_p50, parity, ovf
+    sweep = {}
+    parity_all = True
+    ovf_any = False
+    bld_p50 = None
+    for frac in fracs:
+        churn_cap, obj_cap = bench_caps.update_caps(n, frac)
+        rng = np.random.default_rng(3)
+        moving = rng.random(n) < frac
+        jump = (rng.uniform(-5.0, 5.0, size=bmin.shape).astype(np.float32)
+                * moving[:, None])
+        drift = np.float32(1e-4)              # sub-cell, all objects
+        A = (jnp.asarray(bmin), jnp.asarray(bmax))
+        B = (jnp.asarray(bmin + jump + drift),
+             jnp.asarray(bmax + jump + drift))
+
+        tracked = build_tracked(spec, smin, smax, A[0], A[1], ids,
+                                out_capacity=tree_cap)
+        jax.block_until_ready(tracked)
+        upd = jax.jit(lambda tr, lo, hi, c=churn_cap, o=obj_cap: update(
+            spec, tr, smin, smax, lo, hi, c, obj_cap=o))
+
+        # one-shot exact parity (self-verifying, like the 30k scan gate)
+        t_b = upd(tracked, *B)
+        want = bld(*B)
+        jax.block_until_ready((t_b, want))
+        parity_all = parity_all and layer.layers_equal(spec, t_b.state, want)
+        ovf_any = ovf_any or bool(t_b.state.overflow)
+
+        if bld_p50 is None:                   # build reference, once
+            jax.block_until_ready(bld(*B))
+            times = []
+            for _ in range(max(1, iters // batch)):
+                t0 = time.perf_counter()
+                outs = [bld(*B) for _ in range(batch)]
+                jax.block_until_ready(outs)
+                times.append((time.perf_counter() - t0) / batch * 1e3)
+            bld_p50 = float(np.percentile(times, 50))
+
+        # steady state: alternate A/B so every frame has real churn; the
+        # tracked state chains through, so the timing chain is
+        # data-dependent
+        for w in range(3):
+            tracked = upd(tracked, *(A if w % 2 else B))
+        jax.block_until_ready(tracked)
+        times = []
+        for _ in range(max(1, iters // batch)):
+            t0 = time.perf_counter()
+            for i in range(batch):
+                tracked = upd(tracked, *(A if i % 2 else B))
+            jax.block_until_ready(tracked)
+            times.append((time.perf_counter() - t0) / batch * 1e3)
+        sweep[frac] = float(np.percentile(times, 50))
+
+    break_even = 0.0
+    for frac in sorted(fracs):
+        if sweep[frac] < bld_p50:
+            break_even = frac
+    return sweep, bld_p50, parity_all, ovf_any, break_even
 
 
 def bench_queries_batched(n=100_000, Q=512, iters=30):
@@ -551,11 +639,13 @@ def child_main():
     print(f"single-query tree-engine DEVICE ms on 1M scene "
           f"(chain-differenced): {sq} overflow={sq_ovf}", file=sys.stderr)
 
-    u_p50, b_p50, u_parity, u_ovf = bench_update_1M(
+    u_sweep, b_p50, u_parity, u_ovf, u_be = bench_update_sweep(
         1_000_000 if on_tpu else 50_000)
-    print(f"update_1M (3% cross-cell churn): update p50={u_p50:.3f} ms "
-          f"vs build p50={b_p50:.3f} ms, parity={u_parity} "
-          f"overflow={u_ovf}", file=sys.stderr)
+    print(f"update_1M churn sweep (update p50 ms by cross-cell churn): "
+          f"{ {f'{k:.1%}': round(v, 3) for k, v in u_sweep.items()} } "
+          f"vs build p50={b_p50:.3f} ms, break_even={u_be:.1%}, "
+          f"parity={u_parity} overflow={u_ovf}", file=sys.stderr)
+    u_p50 = u_sweep.get(0.03, min(u_sweep.values()))
 
     qb = bench_queries_batched(100_000 if on_tpu else 10_000,
                                Q=512 if on_tpu else 16)
@@ -578,6 +668,14 @@ def child_main():
     print(f"full_step n={n_big}: p50={p50_big:.3f} ms "
           f"(blocking {lat_big:.3f} ms), pairs={pairs_big}, "
           f"pairs/sec={pairs_big / (p50_big * 1e-3):.3e}", file=sys.stderr)
+
+    u_big_p50, u_big_pairs, u_big_ovf, u_set_ok = \
+        bench_full_step_unsorted(n_big, iters=30)
+    print(f"full_step_unsorted n={n_big} (canonical=False): "
+          f"p50={u_big_p50:.3f} ms, pairs={u_big_pairs}, "
+          f"set_verified={u_set_ok}, "
+          f"pairs/sec={u_big_pairs / (u_big_p50 * 1e-3):.3e}",
+          file=sys.stderr)
 
     # reference baseline: 10k objects per 6 ms (README.md:17-19)
     ref_objs_per_ms = 10_000 / 6.0
@@ -602,11 +700,17 @@ def child_main():
         # record itself) — includes the ball-pit and merge scenes (ADVICE
         # round 3)
         "overflow": bool(ovf_small or ovf_big or bp_ovf or m_ovf or u_ovf
-                         or sq_ovf),
+                         or sq_ovf or u_big_ovf),
         # pair-for-pair 30k device-vs-C++-oracle check, run unconditionally
         # this process; false invalidates the record (orchestrator retries)
-        # — the update() bench's exact-parity check folds in too
-        "verified": bool(verified and u_parity),
+        # — the update() bench's exact-parity check and the unsorted
+        # (canonical=False) set-equality check fold in too
+        "verified": bool(verified and u_parity and u_set_ok),
+        # the canonical=False product contract as a first-class verified
+        # metric (VERDICT r4 #3): same unique pair set, emission order,
+        # no presentation sort
+        "full_step_1M_unsorted_p50_ms": round(u_big_p50, 4),
+        "unsorted_set_verified": bool(u_set_ok),
         # round-4 engines (secondary metrics, same record); sq_ovf means a
         # query buffer truncated — the timing would be for an incomplete
         # query, so it invalidates these lines (and the record's overflow)
@@ -614,6 +718,11 @@ def child_main():
         "single_query_overflow": bool(sq_ovf),
         "update_1M_p50_ms": round(u_p50, 4),
         "build_1M_p50_ms": round(b_p50, 4),
+        # churn sweep (VERDICT r4 #1): update p50 per cross-cell churn
+        # fraction + the largest benched fraction where update beats build
+        "update_1M_sweep_ms": {f"{k:.3f}": round(v, 4)
+                               for k, v in u_sweep.items()},
+        "update_break_even_frac": u_be,
     }))
 
 

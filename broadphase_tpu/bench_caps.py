@@ -24,5 +24,20 @@ def pair_capacity(n: int, slack: int = PAIR_SLACK) -> int:
     return ((slack * n) // 1024) * 1024
 
 
+def update_caps(n: int, churn_frac: float) -> tuple:
+    """(churn_cap, obj_cap) for the update() bench at a given cross-cell
+    churn fraction.  A churned object tombstones ALL its old cells and
+    inserts all its new ones (~3.3 avg, measured: tree_count/n), so the
+    per-side slot budget is 4x the churned objects + headroom; obj_cap
+    carries ~30% headroom over the exact churned-object count.  Both are
+    static shapes: the bench compiles one executable per sweep point."""
+    objs = max(64, int(n * churn_frac))
+    # worst case: every moving object occupies the full 8-cell block on
+    # both sides (r4 used the same 8.2x sizing at 3%)
+    churn_cap = ((8 * objs + objs // 4) // 1024 + 1) * 1024
+    obj_cap = ((objs + (3 * objs) // 10) // 1024 + 1) * 1024
+    return churn_cap, obj_cap
+
+
 def emit_capacity(n: int, slack: int = EMIT_SLACK) -> int:
     return ((slack * n) // 1024) * 1024

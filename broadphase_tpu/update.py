@@ -1,7 +1,7 @@
 """Temporal-coherence tree updates: re-sort only what changed cells.
 
 The reference keeps one persistent ``Layer`` across frames and rebuilds it
-with ``clear + extend + sort`` every frame (``src/layer.rs:79-88``; the
+with ``clear + extend + sort`` every frame (``src/layer.rs:84-121``; the
 example app's loop, ``examples/main.rs``).  On TPU the rebuild's cost is
 dominated by sorting every emitted cell (~n * 2^dim lanes) even though a
 per-frame physics scene moves only slightly and most objects stay in the
@@ -15,16 +15,24 @@ This module exploits that coherence TPU-first:
 * :func:`update` re-runs the emission *vector math* on the new bounds (no
   sort — this is the cheap part of a build) and diffs the table per
   object.  Objects that drifted **within** their cells emit identical
-  slots and cost nothing — the common physics case; the diff is on cells,
+  slots and add no churn — the common physics case; the diff is on cells,
   not on raw coordinates, so sub-cell motion of every object is zero
   churn.
+* Changed objects are extracted at OBJECT granularity (round 5): one
+  single-column stream compaction over the n object lanes finds the
+  changed-object index list, and only those objects' emission-table rows
+  are gathered — the churn streams are built from ``obj_cap * 2^dim``
+  lanes instead of the full ``n * 2^dim`` table, so extraction cost
+  scales with the churn bound, not the scene.
 * Changed objects' OLD slots become *tombstones* and their NEW slots
-  inserts; both stream-compact into a fixed churn buffer, get one small
-  sort, and bitonic-merge into the previous sorted tree
-  (``ops/merge.py``, log(n) gather-free stages).  A tombstone sorts via a
-  tag key column directly after the tree entry it cancels; one
-  adjacent-compare pass + a single streaming compaction removes both.
-  No full-tree sort anywhere.
+  inserts; both sort into one small churn buffer and bitonic-merge into
+  the previous sorted tree (``ops/merge.py``, log(n) gather-free
+  stages).  A tombstone sorts via a low tag bit directly after the tree
+  entry it cancels; one adjacent-compare pass + a single streaming
+  compaction removes both.  No full-tree sort anywhere.  When every id
+  fits 28 bits the (id, aux, tag) triple packs into ONE u32 column
+  (monotone in id), so the merge, cancel, and compaction all run on
+  three u32 columns — the minimum the 64-bit key itself dictates.
 
 The result is bit-identical to ``layer.build`` from scratch on the new
 bounds — same keys, ids, aux bits, count, and flags (differential-tested
@@ -38,8 +46,12 @@ Contract / limits (all flagged, never silent):
   twin's entry with a different aux bit).  Use :func:`layer.build` for
   duplicate-id scenes.
 * ``churn_cap`` bounds the changed CELL SLOTS per frame (tombstones and
-  inserts each); exceeding it sets ``state.overflow`` — rebuild from
-  scratch that frame.
+  inserts each); ``obj_cap`` (default ``churn_cap``) bounds the changed
+  OBJECTS per frame.  Exceeding either sets ``state.overflow`` — rebuild
+  from scratch that frame.
+* ``wide_ids`` (static): ids >= 2^28 - 1 don't fit the packed column;
+  pass True to run the unpacked (one extra sort column) path.  Leaving
+  it False with wide ids present sets ``state.overflow`` (never silent).
 * A tree that was already truncated (``state.overflow``) stays flagged.
 """
 
@@ -56,6 +68,11 @@ from .index import IndexSpec, Key
 from .layer import (PAD_ID, LayerState, _slot_aux, _use_pallas_expand,
                     build, capacity_of)
 from .ops.merge import bitonic_merge
+
+# ids strictly below this pack (id << (dim+1)) | (aux << 1) | tag into one
+# u32 that stays below the all-ones pad for dim <= 3 (strict: id = 2^28-1
+# with all aux/tag bits set would collide with the pad sentinel)
+_PACK_ID_BOUND = jnp.uint32((1 << 28) - 1)
 
 
 class TrackedScene(NamedTuple):
@@ -109,25 +126,39 @@ def build_tracked(spec: IndexSpec, system_min, system_max,
     return TrackedScene(state, jnp.asarray(ids, jnp.uint32), keys, valid)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6, 7))
+def _key_rows(spec: IndexSpec, keys: Key, n: int, S: int, obj_idx):
+    """Gather whole emission-table rows for the changed objects.
+
+    Key tables are (N, S); changed objects are few, so row gathers (S
+    contiguous u32 per row per column) beat streaming the full table
+    through a multi-column compaction by the churn/scene ratio."""
+    if spec.bits == 32:
+        return (keys.reshape(n, S)[obj_idx],)
+    return (keys.hi.reshape(n, S)[obj_idx], keys.lo.reshape(n, S)[obj_idx])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8, 9, 10))
 def update(spec: IndexSpec, tracked: TrackedScene,
            system_min, system_max, bounds_min, bounds_max,
-           churn_cap: int, slots_per_axis: int = 2
-           ) -> TrackedScene:
+           churn_cap: int, slots_per_axis: int = 2,
+           obj_cap: Optional[int] = None, wide_ids: bool = False,
+           _stage: str = "full") -> TrackedScene:
     """Advance the tree to this frame's bounds by cell diff + tombstone
     merge.
 
     bounds_min/bounds_max: (N, dim) f32, same object slots as at
     ``build_tracked``.  ``churn_cap`` (static) bounds the changed cell
-    slots per frame.  Returns a TrackedScene whose state is bit-identical
-    to a from-scratch ``layer.build`` on the new bounds (unique-id
-    scenes).
+    slots per frame (each side); ``obj_cap`` (static, default churn_cap)
+    bounds the changed objects.  Returns a TrackedScene whose state is
+    bit-identical to a from-scratch ``layer.build`` on the new bounds
+    (unique-id scenes).
     """
     state = tracked.state
     cap = capacity_of(state)
     dim = spec.dim
     S = slots_per_axis ** dim
     C = churn_cap
+    OC = obj_cap if obj_cap is not None else churn_cap
     n = tracked.ids.shape[0]
 
     new_keys, new_valid, contained, cell_ovf = _emit_table(
@@ -141,69 +172,148 @@ def update(spec: IndexSpec, tracked: TrackedScene,
         | (new_valid != tracked.emit_valid)
     changed = jnp.any(slot_diff, axis=-1)                      # (N,)
 
-    ids_b = jnp.broadcast_to(tracked.ids[:, None], (n, S))
-    aux_b = jnp.broadcast_to(_slot_aux(spec, slots_per_axis)[None, :],
-                             (n, S))
+    # exact churn counts from the full tables (caps are checked against
+    # these, so a truncated extraction can never pass silently)
+    tomb_cnt = jnp.sum((changed[:, None] & tracked.emit_valid)
+                       .astype(jnp.int32))
+    ins_cnt = jnp.sum((changed[:, None] & new_valid).astype(jnp.int32))
+    obj_cnt = jnp.sum(changed.astype(jnp.int32))
+    churn_ovf = (tomb_cnt > C) | (ins_cnt > C) | (obj_cnt > OC)
+    if _stage == "emit_diff":      # profiler prefix (tools/profile_update)
+        return tomb_cnt, ins_cnt, obj_cnt, cell_ovf
 
-    def _side(keys, valid, tag):
-        """Stream-compact one side's changed live slots to (C,) columns +
-        a tag column (tag rides AFTER compaction via the live count)."""
-        keep = (changed[:, None] & valid).reshape(n * S)
-        kc = bidx.sort_operands(spec, keys)
-        cols = tuple(c.reshape(n * S) for c in kc) \
-            + (ids_b.reshape(n * S), aux_b.reshape(n * S))
-        fills = (0xFFFF_FFFF,) * (len(cols) - 1) + (0,)
-        out, cnt = _compact(keep, cols, fills)
-        out = tuple(c[:C] if c.shape[0] >= C else
-                    jnp.pad(c, (0, C - c.shape[0]),
-                            constant_values=(0 if i == len(cols) - 1
-                                             else 0xFFFF_FFFF))
-                    for i, c in enumerate(out))
-        lane = jnp.arange(C, dtype=jnp.int32)
-        t = jnp.where(lane < cnt, jnp.uint32(tag), jnp.uint32(0))
-        nk = len(cols) - 2
-        return out[:nk] + (out[-2], t, out[-1]), cnt
+    # --- object-granular extraction: one 1-column compaction over the n
+    # object lanes, then row gathers of only the changed objects --------
+    (obj_idx_u,), _cnt = _compact(changed,
+                                  (jnp.arange(n, dtype=jnp.uint32),),
+                                  (n,))
+    obj_idx_u = obj_idx_u[:OC] if obj_idx_u.shape[0] >= OC else jnp.pad(
+        obj_idx_u, (0, OC - obj_idx_u.shape[0]), constant_values=n)
+    row_live = jnp.arange(OC, dtype=jnp.int32) < jnp.minimum(obj_cnt, OC)
+    obj_idx = jnp.clip(obj_idx_u.astype(jnp.int32), 0, max(n - 1, 0))
 
-    tomb, tomb_cnt = _side(tracked.emit_keys, tracked.emit_valid, 1)
-    ins, ins_cnt = _side(new_keys, new_valid, 2)
-    churn_ovf = (tomb_cnt > C) | (ins_cnt > C)
+    old_k_rows = _key_rows(spec, tracked.emit_keys, n, S, obj_idx)
+    new_k_rows = _key_rows(spec, new_keys, n, S, obj_idx)
+    old_v_rows = tracked.emit_valid.reshape(n, S)[obj_idx] & row_live[:, None]
+    new_v_rows = new_valid.reshape(n, S)[obj_idx] & row_live[:, None]
+    ids_rows = tracked.ids[obj_idx]                            # (OC,)
 
-    churn = tuple(jnp.concatenate([a, b]) for a, b in zip(tomb, ins))
-    # sort the churn buffer by (key, id, tag); aux is payload
-    churn = jax.lax.sort(churn, num_keys=len(churn) - 1)
+    aux_row = _slot_aux(spec, slots_per_axis)                  # (S,)
+    narrow = (jnp.max(jnp.where(tracked.ids != PAD_ID, tracked.ids, 0))
+              < _PACK_ID_BOUND) if n else jnp.bool_(True)
+    pack_ovf = jnp.bool_(False) if wide_ids else ~narrow
 
-    # merge into the previous sorted tree (tag 0)
+    def _pack(ids2, aux2, tag):
+        """(id, aux, tag) -> one u32, monotone in (id, aux, tag)."""
+        return ((ids2 << jnp.uint32(dim + 1)) | (aux2 << jnp.uint32(1))
+                | jnp.uint32(tag))
+
+    def _stream(k_rows, v_rows, tag):
+        """One side's (key cols + meta cols) flat stream + keep mask."""
+        kc = tuple(c.reshape(OC * S) for c in k_rows)
+        keep = v_rows.reshape(OC * S)
+        ids2 = jnp.broadcast_to(ids_rows[:, None], (OC, S)).reshape(OC * S)
+        aux2 = jnp.broadcast_to(aux_row[None, :], (OC, S)).reshape(OC * S)
+        if wide_ids:
+            # build drops aux to zeros for wide ids (layer._sort_now:
+            # emit-once degrades to keep-all), so parity requires the
+            # same here; the meta column carries only the tag
+            meta = (ids2, jnp.full_like(ids2, jnp.uint32(tag)))
+        else:
+            meta = (_pack(ids2, aux2, tag),)
+        ones = jnp.uint32(0xFFFF_FFFF)
+        cols = tuple(jnp.where(keep, c, ones) for c in kc + meta)
+        return cols, keep
+
+    t_cols, t_keep = _stream(old_k_rows, old_v_rows, 1)   # tombstones
+    i_cols, i_keep = _stream(new_k_rows, new_v_rows, 0)   # inserts
+    if _stage == "extract":        # profiler prefix
+        return (tomb_cnt, t_cols[0][::64].sum(), i_cols[0][::64].sum(),
+                jnp.sum(t_keep), jnp.sum(i_keep))
+    churn_raw = tuple(jnp.concatenate([a, b])
+                      for a, b in zip(t_cols, i_cols))
+    churn_keep = jnp.concatenate([t_keep, i_keep])
+    nk = spec.bits // 32                                   # key columns
+
+    # compact the 2*OC*S churn lanes to the 2C merge budget, then one
+    # small sort orders the churn buffer (every column is a sort key —
+    # the (id, aux, tag) meta IS the tie-break that lands a tombstone
+    # directly after the tree entry it cancels)
+    fills = (0xFFFF_FFFF,) * len(churn_raw)
+    churn_c, _ccnt = _compact(churn_keep, churn_raw, fills)
+    churn = tuple(c[:2 * C] if c.shape[0] >= 2 * C else
+                  jnp.pad(c, (0, 2 * C - c.shape[0]),
+                          constant_values=jnp.uint32(0xFFFF_FFFF))
+                  for c in churn_c)
+    churn = jax.lax.sort(churn, num_keys=len(churn))
+    if _stage == "churn":          # profiler prefix
+        return tuple(c[::64].sum() for c in churn)
+
+    # merge into the previous sorted tree (tag 0).  Tree meta mirrors the
+    # churn packing; pads stay all-ones in every column.
     kc = bidx.sort_operands(spec, state.keys)
-    tree_cols = kc + (state.ids, jnp.zeros((cap,), jnp.uint32), state.aux)
-    merged = bitonic_merge(tree_cols, churn, num_keys=len(kc) + 2)
+    t_live = state.ids != PAD_ID
+    ones = jnp.uint32(0xFFFF_FFFF)
+    if wide_ids:
+        tree_meta = (state.ids, jnp.where(t_live, jnp.uint32(0), ones))
+    else:
+        tree_meta = (jnp.where(t_live, _pack(state.ids, state.aux, 0),
+                               ones),)
+    merged = bitonic_merge(kc + tree_meta, churn,
+                           num_keys=nk + len(tree_meta))
+    if _stage == "merge":          # profiler prefix
+        return tuple(c[::4096].sum() for c in merged)
 
-    m_ids = merged[len(kc)]
-    m_tag = merged[len(kc) + 1]
-    m_aux = merged[len(kc) + 2]
+    m_key = bidx.key_from_columns(spec, merged[:nk])
+    if wide_ids:
+        m_ids = merged[nk]
+        m_tag = merged[nk + 1] & jnp.uint32(3)
+        m_aux = merged[nk + 1] >> jnp.uint32(2)
+    else:
+        packed = merged[nk]
+        m_ids = packed >> jnp.uint32(dim + 1)
+        m_tag = packed & jnp.uint32(1)
+        m_aux = (packed >> jnp.uint32(1)) & jnp.uint32((1 << dim) - 1)
 
     # cancel: a tree entry directly followed by its tombstone dies with it
     # (adjacent access via shifts — a gather over the merged lanes would
-    # cost ~10 ns/elem; these are pure vector passes)
+    # cost ~10 ns/elem; these are pure vector passes).  The packing
+    # guarantees adjacency: tree entry and its tombstone differ only in
+    # the lowest tag bit, so nothing sorts between them.
     def _shift1(c):
         return jnp.concatenate([c[1:], c[:1]])
     nxt_key = bidx.key_from_columns(
-        spec, tuple(_shift1(c) for c in merged[:len(kc)]))
-    mk = bidx.key_from_columns(spec, merged[:len(kc)])
-    same = bidx.key_eq(spec, mk, nxt_key) & (m_ids == _shift1(m_ids))
-    dead = (same & (_shift1(m_tag) == 1)) | (m_tag == 1)
+        spec, tuple(_shift1(c) for c in merged[:nk]))
+    same = bidx.key_eq(spec, m_key, nxt_key) & (m_ids == _shift1(m_ids))
+    # pad lanes (all-ones keys — never a live cell: the depth field of an
+    # all-ones key exceeds clamp_depth in every spec) are dead weight the
+    # compaction drops and the fill re-pads
+    pad_mask = bidx.key_eq(spec, m_key, spec.pad_key(m_ids.shape))
+    is_tomb = m_tag == 1
+    dead = (same & (_shift1(is_tomb))) | is_tomb | pad_mask
     keep = ~dead
 
-    new_count = jnp.sum((keep & (m_ids != PAD_ID)).astype(jnp.int32))
-    out_cols = merged[:len(kc)] + (m_ids, m_aux)
-    fills = (0xFFFF_FFFF,) * (len(out_cols) - 1) + (0,)
-    out, _ = _compact(keep, out_cols, fills)
+    new_count = jnp.sum(keep.astype(jnp.int32))
+    out, _ = _compact(keep, merged, (0xFFFF_FFFF,) * len(merged))
     out = tuple(c[:cap] for c in out)
 
-    overflow = (state.overflow | cell_ovf | churn_ovf | (new_count > cap))
+    lane = jnp.arange(cap, dtype=jnp.int32)
+    live = lane < jnp.minimum(new_count, cap)
+    if wide_ids:
+        o_ids = jnp.where(live, out[nk], PAD_ID)
+        o_aux = jnp.where(live, out[nk + 1] >> jnp.uint32(2), 0)
+    else:
+        o_ids = jnp.where(live, out[nk] >> jnp.uint32(dim + 1), PAD_ID)
+        o_aux = jnp.where(live,
+                          (out[nk] >> jnp.uint32(1))
+                          & jnp.uint32((1 << dim) - 1), 0)
+
+    overflow = (state.overflow | cell_ovf | churn_ovf | pack_ovf
+                | (new_count > cap))
     new_state = state._replace(
-        keys=bidx.key_from_columns(spec, out[:-2]),
-        ids=out[-2],
-        aux=out[-1],
+        keys=bidx.key_from_columns(spec, out[:nk]),
+        ids=o_ids,
+        aux=o_aux,
         count=jnp.minimum(new_count, cap),
         sorted=jnp.bool_(True),
         invalid_count=jnp.sum((~contained).astype(jnp.int32)),

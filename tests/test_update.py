@@ -119,6 +119,50 @@ def test_update_churn_overflow_flagged(spec):
     assert bool(tracked.state.overflow)
 
 
+@pytest.mark.parametrize("spec", [Index64_3D], ids=lambda s: s.name)
+def test_update_obj_cap_overflow_flagged(spec):
+    """More changed OBJECTS than obj_cap must flag, never truncate
+    silently (the slot caps alone can't see a truncated row gather)."""
+    n = 300
+    smin, smax, bmin, bmax, ids, rng = _scene(spec, n, seed=63)
+    tracked = build_tracked(spec, smin, smax, bmin, bmax, ids,
+                            out_capacity=n * spec.fanout)
+    delta = rng.normal(0, 20.0, size=(n, spec.dim)).astype(np.float32)
+    tracked = update(spec, tracked, smin, smax,
+                     (bmin + delta).astype(np.float32),
+                     (bmax + delta).astype(np.float32),
+                     churn_cap=n * spec.fanout, obj_cap=8)
+    assert bool(tracked.state.overflow)
+
+
+@pytest.mark.parametrize("spec", [Index64_3D, Index32_2D],
+                         ids=lambda s: s.name)
+def test_update_wide_ids(spec):
+    """Ids >= 2^28-1 don't fit the packed (id, aux, tag) column: the
+    default path must FLAG (never silently mis-sort), and the
+    wide_ids=True path must match build exactly."""
+    n = 200
+    smin, smax, bmin, bmax, ids, rng = _scene(spec, n, seed=65)
+    ids = (ids.astype(np.uint64) + (1 << 29)).astype(np.uint32)
+    cap = n * spec.fanout
+    tracked = build_tracked(spec, smin, smax, bmin, bmax, ids,
+                            out_capacity=cap)
+    delta = rng.normal(0, 10.0, size=(n, spec.dim)).astype(np.float32)
+    mask = rng.random(n) < 0.3
+    b2min = np.where(mask[:, None], bmin + delta, bmin).astype(np.float32)
+    b2max = np.where(mask[:, None], bmax + delta, bmax).astype(np.float32)
+
+    flagged = update(spec, tracked, smin, smax, b2min, b2max,
+                     churn_cap=n * spec.fanout)
+    assert bool(flagged.state.overflow)
+
+    t2 = update(spec, tracked, smin, smax, b2min, b2max,
+                churn_cap=n * spec.fanout, wide_ids=True)
+    want = layer.build(spec, smin, smax, b2min, b2max, ids,
+                       out_capacity=cap)
+    _assert_state_equal(spec, t2.state, want)
+
+
 @pytest.mark.parametrize("spec", [Index32_2D], ids=lambda s: s.name)
 def test_update_no_change_is_identity(spec):
     n = 256
