@@ -62,6 +62,51 @@ def lower_bound_keys(spec: IndexSpec, keys: Key, queries: Key) -> jnp.ndarray:
     return lo
 
 
+def _bracketed_search(spec: IndexSpec, keys: Key, queries: Key,
+                      lo: jnp.ndarray, hi: jnp.ndarray, le: bool
+                      ) -> jnp.ndarray:
+    """Binary search with PER-QUERY brackets and a data-dependent trip
+    count.  The classic loops above always run log2(cap) gather rounds;
+    when the caller already knows each answer lies in [lo, hi] (e.g. a
+    tree descent where children live inside the parent's element range),
+    a ``while_loop`` stops as soon as every bracket closes — the gather
+    rounds shrink with the brackets, which shrink geometrically down a
+    descent.  Requires lo <= answer <= hi elementwise."""
+    cap = jnp.shape(spec.ops.to_u32(keys))[0] if spec.bits == 64 \
+        else keys.shape[0]
+    cmp = bidx.key_le if le else bidx.key_lt
+
+    def cond(c):
+        l, h = c
+        return jnp.any(l < h)
+
+    def body(c):
+        l, h = c
+        cont = l < h
+        mid = (l + h) >> 1
+        km = bidx.key_gather(spec, keys, jnp.clip(mid, 0, cap - 1))
+        go = cmp(spec, km, queries)
+        l = jnp.where(cont & go, mid + 1, l)
+        h = jnp.where(cont & ~go, mid, h)
+        return l, h
+
+    lo, _ = jax.lax.while_loop(cond, body, (lo.astype(jnp.int32),
+                                            hi.astype(jnp.int32)))
+    return lo
+
+
+def lower_bound_keys_bracketed(spec: IndexSpec, keys: Key, queries: Key,
+                               lo, hi) -> jnp.ndarray:
+    """#elements with key < q, given per-query answer brackets [lo, hi]."""
+    return _bracketed_search(spec, keys, queries, lo, hi, le=False)
+
+
+def upper_bound_keys_bracketed(spec: IndexSpec, keys: Key, queries: Key,
+                               lo, hi) -> jnp.ndarray:
+    """#elements with key <= q, given per-query answer brackets [lo, hi]."""
+    return _bracketed_search(spec, keys, queries, lo, hi, le=True)
+
+
 def upper_bound_i32(sorted_vals: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
     """Number of elements in sorted int32 `sorted_vals` that are <= q."""
     cap = sorted_vals.shape[0]

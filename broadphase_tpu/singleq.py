@@ -72,8 +72,9 @@ from . import geom, index as bidx
 from .index import IndexSpec, Key
 from .layer import PAD_ID, LayerState, TestResult, sort
 from .ops.compact import stable_compact
-from .ops.search import (expand_runs, lower_bound_keys, segmented_broadcast,
-                         upper_bound_keys)
+from .ops.search import (expand_runs, lower_bound_keys,
+                         lower_bound_keys_bracketed, segmented_broadcast,
+                         upper_bound_keys, upper_bound_keys_bracketed)
 from .query import (PickResult, _argmin_pick_ranked, _flag_truncation,
                     _ray_visit_rank, _unique_compact, ray_intervals_keys)
 
@@ -303,13 +304,18 @@ def _ray_frontier_ranges(spec: IndexSpec, state: LayerState,
         factive = jnp.arange(F, dtype=jnp.int32) < kept
 
         child_keys, _valid = bidx.subdivide(spec, fkeys)   # (fan, F)
-        bounds = lower_bound_keys(spec, state.keys, child_keys)
-        bounds = jnp.clip(bounds, flo[None, :], fhi[None, :])
+        ckcols = bidx.sort_operands(spec, child_keys)
 
-        # elements AT this cell: [flo, bounds[0]) — their interval is the
-        # frontier's (they passed when the cell entered the frontier)
+        # elements AT this cell: [flo, s0) where s0 = the first child's
+        # lower bound — ONE bracketed probe per frontier lane, searched
+        # only inside the parent's own element range [flo, fhi] (their
+        # interval is the frontier's: they passed when the cell entered)
+        child0 = bidx.key_from_columns(spec, tuple(c[0] for c in ckcols))
+        s0 = lower_bound_keys_bracketed(
+            spec, state.keys, child0,
+            jnp.where(factive, flo, 0), jnp.where(factive, fhi, 0))
         a_start = jnp.where(factive, flo, 0)
-        a_len = jnp.where(factive, bounds[0] - flo, 0)
+        a_len = jnp.where(factive, s0 - flo, 0)
         rstart = jax.lax.dynamic_update_index_in_dim(rstart, a_start,
                                                      level, 0)
         rlen = jax.lax.dynamic_update_index_in_dim(rlen, a_len, level, 0)
@@ -333,15 +339,21 @@ def _ray_frontier_ranges(spec: IndexSpec, state: LayerState,
         lo_c = jnp.where(side, center[None], lo[None])     # (fan, F, dim)
         hi_c = jnp.where(side, hi[None], center[None])
 
-        child_lo = bounds
-        child_hi = jnp.concatenate([bounds[1:], fhi[None, :]], axis=0)
+        # prune by slab interval BEFORE any search (round 5): only
+        # interval-passing children of nonempty parents reach the binary
+        # searches, so a level costs ~3F bounded probes (one first-child
+        # probe per parent + start/end per survivor) instead of 8F
+        # full-depth ones.  A surviving child whose element range turns
+        # out empty occupies a frontier slot for one level and is killed
+        # here next level via the parent-nonempty mask.
         passes = (rmn_c < rmx_c) & (rmn_c < near)
         keep = (factive[None, :] & passes
-                & (child_lo < child_hi)).reshape(spec.fanout * F)
+                & (flo < fhi)[None, :]).reshape(spec.fanout * F)
 
-        cols = tuple(c.reshape(spec.fanout * F)
-                     for c in bidx.sort_operands(spec, child_keys))
-        flat = (child_lo.reshape(-1), child_hi.reshape(-1),
+        cols = tuple(c.reshape(spec.fanout * F) for c in ckcols)
+        b_lo = jnp.broadcast_to(s0[None, :], (spec.fanout, F)).reshape(-1)
+        b_hi = jnp.broadcast_to(fhi[None, :], (spec.fanout, F)).reshape(-1)
+        flat = (b_lo, b_hi,
                 lo_c.reshape(-1, dim), hi_c.reshape(-1, dim),
                 rmn_c.reshape(-1), rmx_c.reshape(-1))
         arrays = cols + flat
@@ -352,7 +364,21 @@ def _ray_frontier_ranges(spec: IndexSpec, state: LayerState,
         ovf = ovf | (new_kept > F)
         compacted = tuple(c[:F] for c in compacted)
         nk = len(cols)
-        return (compacted[:nk], compacted[nk], compacted[nk + 1],
+
+        # bracketed element ranges for the surviving children only:
+        # start = lb(child key), end = ub(descendant_max(child)) — the
+        # range end equals the next sibling's lower bound (every key
+        # between them would be a descendant), searched inside the
+        # parent's bracket.  Inactive lanes have closed (0, 0) brackets
+        # and cost no iterations.
+        ckeys = bidx.key_from_columns(spec, compacted[:nk])
+        cb_lo, cb_hi = compacted[nk], compacted[nk + 1]
+        start = lower_bound_keys_bracketed(spec, state.keys, ckeys,
+                                           cb_lo, cb_hi)
+        end = upper_bound_keys_bracketed(
+            spec, state.keys, bidx.descendant_max(spec, ckeys),
+            start, cb_hi)
+        return (compacted[:nk], start, end,
                 jnp.minimum(new_kept, F),
                 compacted[nk + 2], compacted[nk + 3],
                 compacted[nk + 4], compacted[nk + 5],
