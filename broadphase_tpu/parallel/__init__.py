@@ -12,3 +12,9 @@ from .scan import (  # noqa: F401
     min_depth_for_devices,
     sharded_scan_step,
 )
+from .layer import (  # noqa: F401
+    ShardedLayer,
+    make_build_sharded,
+    make_queries_sharded,
+    make_scan_sharded,
+)

@@ -95,6 +95,144 @@ def _bucket_rows(cols, bucket, live, n_dev: int, row_cap: int, pads):
     return rows, counts, jnp.any(counts > row_cap)
 
 
+def _local_sorted_fragment(spec: IndexSpec, axis_name: str, n_dev: int,
+                           eff_min_depth: int, slots_per_axis: int,
+                           bcap: int, bucket_of,
+                           system_min, system_max,
+                           bounds_min, bounds_max, ids):
+    """Per-device body of the sharded BUILD: local emit, route by top key
+    bits via one sort + one all_to_all (rides ICI), local sort.  Returns
+    the device's sorted tree fragment — the keys in its owned contiguous
+    Morton range — as (keys, ids, aux, count, invalid_count, overflow).
+    Shared by :func:`make_sharded_step` (fused build+scan) and the
+    persistent :func:`broadphase_tpu.parallel.layer.make_build_sharded`.
+    """
+    n_local = ids.shape[0]
+    md = jnp.uint32(eff_min_depth)
+    S = slots_per_axis ** spec.dim
+
+    # --- local extend -----------------------------------------------------
+    contained = geom.bounds_contains(system_min, system_max,
+                                     bounds_min, bounds_max)
+    lmin = geom.to_local(system_min, system_max, bounds_min)
+    lmax = geom.to_local(system_min, system_max, bounds_max)
+    keys, valid, cell_ovf = geom.emit_cells(
+        spec, lmin, lmax, md, slots_per_axis)
+    valid = valid & contained[:, None]
+    flat_valid = valid.reshape(n_local * S)
+    flat_ids = jnp.where(
+        flat_valid,
+        jnp.broadcast_to(jnp.asarray(ids, jnp.uint32)[:, None],
+                         (n_local, S)).reshape(n_local * S),
+        PAD_ID)
+    # emit-once aux bools ride the id column through BOTH routing
+    # sorts and the all_to_all as (id << dim) | aux — monotone in id,
+    # so tuple order and bucket grouping are unchanged.  The narrow
+    # gate must agree across devices: reduce the max id globally.
+    dim = spec.dim
+    m_aux = jnp.uint32((1 << dim) - 1)
+    flat_aux = jnp.where(
+        flat_valid,
+        jnp.broadcast_to(_slot_aux(spec, slots_per_axis)[None, :],
+                         (n_local, S)).reshape(n_local * S),
+        jnp.uint32(0))
+    local_max = jnp.max(jnp.where(flat_valid, flat_ids, 0))
+    narrow = jax.lax.pmax(local_max, axis_name) < _NARROW_ID_BOUND
+    packed = jnp.where(flat_ids == PAD_ID, PAD_ID,
+                       (flat_ids << dim) | (flat_aux & m_aux))
+    flat_ids = jnp.where(narrow, packed, flat_ids)
+    pad = spec.pad_key((n_local, S))
+    keys = bidx.key_where(spec, valid, keys, pad)
+    if spec.bits == 32:
+        key_cols = (keys.reshape(n_local * S),)
+    else:
+        key_cols = (keys.hi.reshape(n_local * S),
+                    keys.lo.reshape(n_local * S))
+
+    # --- route by key sort: bucket = top key bits, so one sort groups
+    # by destination (pads at the tail), then one gather builds rows -------
+    sorted_cols = jax.lax.sort(key_cols + (flat_ids,),
+                               num_keys=len(key_cols))
+    skeys_flat = bidx.key_from_columns(spec, sorted_cols[:-1])
+    live = ~bidx.key_eq(spec, skeys_flat, spec.pad_key((n_local * S,)))
+    rows, _, route_ovf = _bucket_rows(
+        sorted_cols, bucket_of(skeys_flat), live, n_dev, bcap,
+        pads=(0xFFFF_FFFF,) * len(sorted_cols))
+    key_rows, id_rows = rows[:-1], rows[-1]
+
+    # --- the exchange: one all_to_all over ICI ----------------------------
+    key_rows = tuple(
+        jax.lax.all_to_all(c, axis_name, split_axis=0, concat_axis=0)
+        for c in key_rows)
+    rids = jax.lax.all_to_all(id_rows, axis_name,
+                              split_axis=0, concat_axis=0)
+
+    # --- local sort: the device's fragment of the global sorted tree ------
+    total = n_dev * bcap
+    cols = tuple(c.reshape(total) for c in key_rows) + (rids.reshape(total),)
+    sorted_cols = jax.lax.sort(cols, num_keys=len(cols))
+    skeys = bidx.key_from_columns(spec, sorted_cols[:-1])
+    sc = sorted_cols[-1]
+    sids = jnp.where(narrow,
+                     jnp.where(sc == PAD_ID, PAD_ID, sc >> dim), sc)
+    saux = jnp.where(narrow & (sc != PAD_ID), sc & m_aux,
+                     jnp.uint32(0))
+    live = ~bidx.key_eq(spec, skeys, spec.pad_key((total,)))
+    count = jnp.sum(live.astype(jnp.int32))
+
+    inv_local = jnp.sum((~contained).astype(jnp.int32))
+    local_ovf = jnp.any(cell_ovf & contained) | route_ovf
+    return skeys, sids, saux, count, inv_local, local_ovf
+
+
+def _dedup_exchange(axis_name: str, n_dev: int, xcap: int, pa, pb):
+    """Global pair dedup: route pairs to the owner device of hash(pair_a)
+    so duplicates collide on one device, then canonical sort+dedup
+    locally.  Any deterministic function of pair_a works (duplicates
+    of one pair share pair_a); the Fibonacci hash decorrelates
+    ownership from application id patterns — a plain a % n_dev would
+    send e.g. an all-even id scene's every pair to half the devices
+    (see docs/SCALING.md, id-skew).  Returns (out_a, out_b, dcount,
+    x_ovf) — this device's hash-owned class, sorted + deduped."""
+    plive = pa != PAD_ID
+    pbkt = jnp.where(plive, ((pa * jnp.uint32(0x9E3779B1))
+                             % jnp.uint32(max(n_dev, 1))
+                             ).astype(jnp.int32), n_dev)
+    sb, spa, spb = jax.lax.sort(
+        (pbkt.astype(jnp.uint32), pa, pb), num_keys=3)
+    prows, _, x_ovf = _bucket_rows(
+        (spa, spb), sb.astype(jnp.int32), sb != jnp.uint32(n_dev),
+        n_dev, xcap, pads=(PAD_ID, PAD_ID))
+    # NOTE scaling: the exchanged buffer is n_dev * xcap lanes per
+    # device — xcap bounds ONE device's hash-owned class of the deduped
+    # pair list, so for fixed global pair count it can shrink ~1/n_dev;
+    # keep n_dev * xcap within HBM when scaling out (docs/SCALING.md).
+    xa = jax.lax.all_to_all(prows[0], axis_name,
+                            split_axis=0, concat_axis=0).reshape(-1)
+    xb = jax.lax.all_to_all(prows[1], axis_name,
+                            split_axis=0, concat_axis=0).reshape(-1)
+    from ..layer import _use_pallas_expand
+    out_a, out_b, dcount = canonical_pairs(
+        xa, xb, xa != PAD_ID,
+        compaction="stream" if _use_pallas_expand() else "shift")
+    return out_a, out_b, dcount, x_ovf
+
+
+def _make_bucket_of(spec: IndexSpec, n_dev: int):
+    """Top-B significant key bits -> destination device, monotone in key."""
+    B = (n_dev - 1).bit_length() if n_dev > 1 else 0
+
+    def bucket_of(keys) -> jnp.ndarray:
+        if B == 0:
+            base = keys.lo if isinstance(keys, U64) else keys
+            return jnp.zeros(base.shape, dtype=jnp.int32)
+        shift = spec.key_bits - B
+        b = spec.ops.to_u32(spec.ops.shri(keys, shift)).astype(jnp.int32)
+        return jnp.minimum(b, n_dev - 1)
+
+    return bucket_of
+
+
 def make_sharded_step(spec: IndexSpec, mesh: Mesh, axis_name: str,
                       *, min_depth: int = 0, slots_per_axis: int = 2,
                       bucket_capacity: int, pair_capacity: int,
@@ -117,131 +255,24 @@ def make_sharded_step(spec: IndexSpec, mesh: Mesh, axis_name: str,
     straddle devices.
     """
     n_dev = mesh.shape[axis_name]
-    B = (n_dev - 1).bit_length() if n_dev > 1 else 0
     eff_min_depth = max(int(min_depth), min_depth_for_devices(spec, n_dev))
-    S = slots_per_axis ** spec.dim
     bcap = int(bucket_capacity)
     xcap = int(exchange_capacity or pair_capacity)
-
-    def _bucket_of(keys) -> jnp.ndarray:
-        """Top-B significant key bits -> destination device, monotone in key."""
-        if B == 0:
-            base = keys.lo if isinstance(keys, U64) else keys
-            return jnp.zeros(base.shape, dtype=jnp.int32)
-        shift = spec.key_bits - B
-        b = spec.ops.to_u32(spec.ops.shri(keys, shift)).astype(jnp.int32)
-        return jnp.minimum(b, n_dev - 1)
+    _bucket_of = _make_bucket_of(spec, n_dev)
 
     def _device_fn(system_min, system_max, bounds_min, bounds_max, ids):
-        n_local = ids.shape[0]
-        md = jnp.uint32(eff_min_depth)
-
-        # --- local extend -------------------------------------------------
-        contained = geom.bounds_contains(system_min, system_max,
-                                         bounds_min, bounds_max)
-        lmin = geom.to_local(system_min, system_max, bounds_min)
-        lmax = geom.to_local(system_min, system_max, bounds_max)
-        keys, valid, cell_ovf = geom.emit_cells(
-            spec, lmin, lmax, md, slots_per_axis)
-        valid = valid & contained[:, None]
-        flat_valid = valid.reshape(n_local * S)
-        flat_ids = jnp.where(
-            flat_valid,
-            jnp.broadcast_to(jnp.asarray(ids, jnp.uint32)[:, None],
-                             (n_local, S)).reshape(n_local * S),
-            PAD_ID)
-        # emit-once aux bools ride the id column through BOTH routing
-        # sorts and the all_to_all as (id << dim) | aux — monotone in id,
-        # so tuple order and bucket grouping are unchanged.  The narrow
-        # gate must agree across devices: reduce the max id globally.
-        dim = spec.dim
-        m_aux = jnp.uint32((1 << dim) - 1)
-        flat_aux = jnp.where(
-            flat_valid,
-            jnp.broadcast_to(_slot_aux(spec, slots_per_axis)[None, :],
-                             (n_local, S)).reshape(n_local * S),
-            jnp.uint32(0))
-        local_max = jnp.max(jnp.where(flat_valid, flat_ids, 0))
-        narrow = jax.lax.pmax(local_max, axis_name) < _NARROW_ID_BOUND
-        packed = jnp.where(flat_ids == PAD_ID, PAD_ID,
-                           (flat_ids << dim) | (flat_aux & m_aux))
-        flat_ids = jnp.where(narrow, packed, flat_ids)
-        pad = spec.pad_key((n_local, S))
-        keys = bidx.key_where(spec, valid, keys, pad)
-        if spec.bits == 32:
-            key_cols = (keys.reshape(n_local * S),)
-        else:
-            key_cols = (keys.hi.reshape(n_local * S),
-                        keys.lo.reshape(n_local * S))
-
-        # --- route by key sort: bucket = top key bits, so one sort groups
-        # by destination (pads at the tail), then one gather builds rows ---
-        sorted_cols = jax.lax.sort(key_cols + (flat_ids,),
-                                   num_keys=len(key_cols))
-        skeys_flat = bidx.key_from_columns(spec, sorted_cols[:-1])
-        live = ~bidx.key_eq(spec, skeys_flat, spec.pad_key((n_local * S,)))
-        rows, _, route_ovf = _bucket_rows(
-            sorted_cols, _bucket_of(skeys_flat), live, n_dev, bcap,
-            pads=(0xFFFF_FFFF,) * len(sorted_cols))
-        key_rows, id_rows = rows[:-1], rows[-1]
-
-        # --- the exchange: one all_to_all over ICI ------------------------
-        key_rows = tuple(
-            jax.lax.all_to_all(c, axis_name, split_axis=0, concat_axis=0)
-            for c in key_rows)
-        rids = jax.lax.all_to_all(id_rows, axis_name,
-                                  split_axis=0, concat_axis=0)
-
-        # --- local sort + pair expansion ----------------------------------
-        total = n_dev * bcap
-        cols = tuple(c.reshape(total) for c in key_rows) + (rids.reshape(total),)
-        sorted_cols = jax.lax.sort(cols, num_keys=len(cols))
-        skeys = bidx.key_from_columns(spec, sorted_cols[:-1])
-        sc = sorted_cols[-1]
-        sids = jnp.where(narrow,
-                         jnp.where(sc == PAD_ID, PAD_ID, sc >> dim), sc)
-        saux = jnp.where(narrow & (sc != PAD_ID), sc & m_aux,
-                         jnp.uint32(0))
-        live = ~bidx.key_eq(spec, skeys, spec.pad_key((total,)))
-        count = jnp.sum(live.astype(jnp.int32))
-
-        local_ovf = jnp.any(cell_ovf & contained) | route_ovf
+        skeys, sids, saux, count, inv_local, local_ovf = \
+            _local_sorted_fragment(spec, axis_name, n_dev, eff_min_depth,
+                                   slots_per_axis, bcap, _bucket_of,
+                                   system_min, system_max,
+                                   bounds_min, bounds_max, ids)
         res = scan_pairs(spec, skeys, sids, count, pair_capacity,
                          filter_fn, extra_overflow=local_ovf, aux=saux,
                          nested_ids=nested_ids)
-
-        # --- global dedup: route pairs to the owner device of hash(pair_a)
-        # so duplicates collide on one device, then canonical sort+dedup
-        # locally.  Any deterministic function of pair_a works (duplicates
-        # of one pair share pair_a); the Fibonacci hash decorrelates
-        # ownership from application id patterns — a plain a % n_dev would
-        # send e.g. an all-even id scene's every pair to half the devices
-        # (see docs/SCALING.md, id-skew) ------------------------------------
-        pa, pb = res.pairs_a, res.pairs_b
-        plive = pa != PAD_ID
-        pbkt = jnp.where(plive, ((pa * jnp.uint32(0x9E3779B1))
-                                 % jnp.uint32(max(n_dev, 1))
-                                 ).astype(jnp.int32), n_dev)
-        sb, spa, spb = jax.lax.sort(
-            (pbkt.astype(jnp.uint32), pa, pb), num_keys=3)
-        prows, _, x_ovf = _bucket_rows(
-            (spa, spb), sb.astype(jnp.int32), sb != jnp.uint32(n_dev),
-            n_dev, xcap, pads=(PAD_ID, PAD_ID))
-        # NOTE scaling: the exchanged buffer is n_dev * xcap lanes per
-        # device — xcap bounds ONE device's hash-owned class of the deduped
-        # pair list, so for fixed global pair count it can shrink ~1/n_dev;
-        # keep n_dev * xcap within HBM when scaling out (docs/SCALING.md).
-        xa = jax.lax.all_to_all(prows[0], axis_name,
-                                split_axis=0, concat_axis=0).reshape(-1)
-        xb = jax.lax.all_to_all(prows[1], axis_name,
-                                split_axis=0, concat_axis=0).reshape(-1)
-        from ..layer import _use_pallas_expand
-        out_a, out_b, dcount = canonical_pairs(
-            xa, xb, xa != PAD_ID,
-            compaction="stream" if _use_pallas_expand() else "shift")
+        out_a, out_b, dcount, x_ovf = _dedup_exchange(
+            axis_name, n_dev, xcap, res.pairs_a, res.pairs_b)
 
         # --- global reductions --------------------------------------------
-        inv_local = jnp.sum((~contained).astype(jnp.int32))
         total_pairs = jax.lax.psum(dcount, axis_name)
         invalid_total = jax.lax.psum(inv_local, axis_name)
         any_ovf = jax.lax.psum(
