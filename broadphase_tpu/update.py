@@ -259,43 +259,67 @@ def update(spec: IndexSpec, tracked: TrackedScene,
     else:
         tree_meta = (jnp.where(t_live, _pack(state.ids, state.aux, 0),
                                ones),)
-    merged = bitonic_merge(kc + tree_meta, churn,
-                           num_keys=nk + len(tree_meta))
-    if _stage == "merge":          # profiler prefix
-        return tuple(c[::4096].sum() for c in merged)
+    tree_cols = kc + tree_meta
+    # kernel viability: the fused Pallas merge streams the tree ONCE with
+    # per-tile churn windows; it fits when the average window (2.5x
+    # headroom) is within a tile.  Whole-tree churn (tests, degenerate
+    # scenes) exceeds any window — use the global XLA formulation there.
+    from .ops.pallas_merge import LANES as _L, TILE_ROWS as _TR
+    _TL = _TR * _L
+    capN = -(-cap // _TL) * _TL
+    wr_needed = -(-5 * 2 * C * _TL // (2 * max(capN, 1) * _L))
+    use_kernel = _use_pallas_expand() and wr_needed <= _TR
 
-    m_key = bidx.key_from_columns(spec, merged[:nk])
-    if wide_ids:
-        m_ids = merged[nk]
-        m_tag = merged[nk + 1] & jnp.uint32(3)
-        m_aux = merged[nk + 1] >> jnp.uint32(2)
+    if use_kernel:
+        # fused windowed merge + cancel + compaction: one streaming pass
+        # (ops/pallas_merge.py) instead of three full-tree XLA passes
+        from .ops.pallas_merge import merge_cancel_compact
+        churn_live = jnp.minimum(_ccnt, 2 * C)
+        out, new_count, merge_ovf = merge_cancel_compact(
+            tree_cols, churn, churn_live, cap,
+            window_rows=int(max(8, wr_needed)),
+            interpret=jax.default_backend() != "tpu")
+        if _stage == "merge":      # profiler prefix (fused: == full here)
+            return tuple(c[::4096].sum() for c in out)
     else:
-        packed = merged[nk]
-        m_ids = packed >> jnp.uint32(dim + 1)
-        m_tag = packed & jnp.uint32(1)
-        m_aux = (packed >> jnp.uint32(1)) & jnp.uint32((1 << dim) - 1)
+        merge_ovf = jnp.bool_(False)
+        merged = bitonic_merge(tree_cols, churn,
+                               num_keys=nk + len(tree_meta))
+        if _stage == "merge":      # profiler prefix
+            return tuple(c[::4096].sum() for c in merged)
 
-    # cancel: a tree entry directly followed by its tombstone dies with it
-    # (adjacent access via shifts — a gather over the merged lanes would
-    # cost ~10 ns/elem; these are pure vector passes).  The packing
-    # guarantees adjacency: tree entry and its tombstone differ only in
-    # the lowest tag bit, so nothing sorts between them.
-    def _shift1(c):
-        return jnp.concatenate([c[1:], c[:1]])
-    nxt_key = bidx.key_from_columns(
-        spec, tuple(_shift1(c) for c in merged[:nk]))
-    same = bidx.key_eq(spec, m_key, nxt_key) & (m_ids == _shift1(m_ids))
-    # pad lanes (all-ones keys — never a live cell: the depth field of an
-    # all-ones key exceeds clamp_depth in every spec) are dead weight the
-    # compaction drops and the fill re-pads
-    pad_mask = bidx.key_eq(spec, m_key, spec.pad_key(m_ids.shape))
-    is_tomb = m_tag == 1
-    dead = (same & (_shift1(is_tomb))) | is_tomb | pad_mask
-    keep = ~dead
+        m_key = bidx.key_from_columns(spec, merged[:nk])
+        if wide_ids:
+            m_ids = merged[nk]
+            m_tag = merged[nk + 1] & jnp.uint32(3)
+        else:
+            packed = merged[nk]
+            m_ids = packed >> jnp.uint32(dim + 1)
+            m_tag = packed & jnp.uint32(1)
 
-    new_count = jnp.sum(keep.astype(jnp.int32))
-    out, _ = _compact(keep, merged, (0xFFFF_FFFF,) * len(merged))
-    out = tuple(c[:cap] for c in out)
+        # cancel: a tree entry directly followed by its tombstone dies
+        # with it (adjacent access via shifts — a gather over the merged
+        # lanes would cost ~10 ns/elem; these are pure vector passes).
+        # The packing guarantees adjacency: tree entry and its tombstone
+        # differ only in the lowest tag bit, so nothing sorts between
+        # them.
+        def _shift1(c):
+            return jnp.concatenate([c[1:], c[:1]])
+        nxt_key = bidx.key_from_columns(
+            spec, tuple(_shift1(c) for c in merged[:nk]))
+        same = bidx.key_eq(spec, m_key, nxt_key) \
+            & (m_ids == _shift1(m_ids))
+        # pad lanes (all-ones keys — never a live cell: the depth field
+        # of an all-ones key exceeds clamp_depth in every spec) are dead
+        # weight the compaction drops and the fill re-pads
+        pad_mask = bidx.key_eq(spec, m_key, spec.pad_key(m_ids.shape))
+        is_tomb = m_tag == 1
+        dead = (same & (_shift1(is_tomb))) | is_tomb | pad_mask
+        keep = ~dead
+
+        new_count = jnp.sum(keep.astype(jnp.int32))
+        out, _ = _compact(keep, merged, (0xFFFF_FFFF,) * len(merged))
+        out = tuple(c[:cap] for c in out)
 
     lane = jnp.arange(cap, dtype=jnp.int32)
     live = lane < jnp.minimum(new_count, cap)
@@ -309,7 +333,7 @@ def update(spec: IndexSpec, tracked: TrackedScene,
                           & jnp.uint32((1 << dim) - 1), 0)
 
     overflow = (state.overflow | cell_ovf | churn_ovf | pack_ovf
-                | (new_count > cap))
+                | merge_ovf | (new_count > cap))
     new_state = state._replace(
         keys=bidx.key_from_columns(spec, out[:nk]),
         ids=o_ids,

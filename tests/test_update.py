@@ -163,6 +163,30 @@ def test_update_wide_ids(spec):
     _assert_state_equal(spec, t2.state, want)
 
 
+@pytest.mark.parametrize("spec", [Index64_3D], ids=lambda s: s.name)
+def test_update_kernel_merge_path_parity(spec, monkeypatch):
+    """The fused Pallas merge-cancel-compact path (taken when churn_cap
+    is small relative to the tree, i.e. the temporal-coherence operating
+    regime) must match build exactly — forced here via
+    BROADPHASE_FORCE_PALLAS (interpret mode off-TPU)."""
+    monkeypatch.setenv("BROADPHASE_FORCE_PALLAS", "1")
+    n = 3000
+    smin, smax, bmin, bmax, ids, rng = _scene(spec, n, seed=67)
+    cap = n * spec.fanout
+    tracked = build_tracked(spec, smin, smax, bmin, bmax, ids,
+                            out_capacity=cap)
+    for frame in range(2):
+        move = rng.random(n) < 0.02
+        delta = rng.normal(0, 12.0, size=(n, spec.dim)).astype(np.float32)
+        bmin = np.where(move[:, None], bmin + delta, bmin).astype(np.float32)
+        bmax = np.where(move[:, None], bmax + delta, bmax).astype(np.float32)
+        tracked = update(spec, tracked, smin, smax, bmin, bmax,
+                         churn_cap=1024, obj_cap=512)
+        want = layer.build(spec, smin, smax, bmin, bmax, ids,
+                           out_capacity=cap)
+        _assert_state_equal(spec, tracked.state, want)
+
+
 @pytest.mark.parametrize("spec", [Index32_2D], ids=lambda s: s.name)
 def test_update_no_change_is_identity(spec):
     n = 256
