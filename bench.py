@@ -316,6 +316,105 @@ def bench_ball_pit_2d(n=10_000, iters=20):
     return p50, int(out[0]), bool(out[1])
 
 
+def bench_full_step_wide(n, iters=20):
+    """The wide-id regime (VERDICT r4 #5): ids above 2^24 disable the
+    emit-once packing, so the scan degrades to keep-all — the pair buffer
+    must hold RAW emissions (~15.7 slots/object at this scene) and the
+    canonical sort runs over them; ids above 2^20 also disable the pair-
+    key packing and the two-column tree-sort tier.  This measures that
+    cliff instead of assuming narrow ids everywhere.
+    Returns (p50_ms, pairs, overflow)."""
+    import jax
+    import jax.numpy as jnp
+
+    from broadphase_tpu import Index64_3D, layer
+    from broadphase_tpu import bench_caps
+
+    spec = Index64_3D
+    smin, smax, bmin, bmax, ids = _scene(spec.dim, n)
+    ids = (ids + (1 << 25)).astype(np.uint32)       # wide: emit-once off
+    # raw emissions: 15.72/obj measured at 1M; small scenes have edge
+    # effects (relatively larger boxes), so give them far more slack
+    emit_cap = bench_caps.emit_capacity(n, 18 if n >= 500_000 else 40)
+    tree_cap = bench_caps.tree_capacity(n)
+
+    @jax.jit
+    def step(bounds_min, bounds_max, obj_ids):
+        state = layer.build(spec, jnp.asarray(smin), jnp.asarray(smax),
+                            bounds_min, bounds_max, obj_ids,
+                            out_capacity=tree_cap)
+        state, result = layer.scan(spec, state, emit_cap)
+        return result.pairs_a, result.pairs_b, result.count, result.overflow
+
+    d_args = tuple(jax.device_put(x) for x in (bmin, bmax, ids))
+    out = step(*d_args)
+    jax.block_until_ready(out)
+    p50, _ = _pipelined_p50(step, d_args, iters=iters, batch=8)
+    return p50, int(out[2]), bool(out[3])
+
+
+def bench_index64_2d(n, iters=20):
+    """One Index64_2D scene through the full step (BASELINE config matrix;
+    the reference exercises all three index types).  2D at this density is
+    pair-sparse (~0.15 pairs/object measured), so the caps are modest.
+    Returns (p50_ms, pairs, overflow)."""
+    import jax
+    import jax.numpy as jnp
+
+    from broadphase_tpu import Index64_2D, layer
+
+    spec = Index64_2D
+    smin, smax, bmin, bmax, ids = _scene(spec.dim, n)
+    # measured: tree ~2.5 cells/obj, ~0.3 unique pairs/obj at this density
+    pair_cap = ((1 * n) // 1024) * 1024
+    emit_cap = ((3 * n) // 1024) * 1024
+    tree_cap = ((3 * n) // 1024) * 1024
+
+    @jax.jit
+    def step(bounds_min, bounds_max, obj_ids):
+        state = layer.build(spec, jnp.asarray(smin), jnp.asarray(smax),
+                            bounds_min, bounds_max, obj_ids,
+                            out_capacity=tree_cap)
+        state, result = layer.scan(spec, state, pair_cap,
+                                   emit_capacity=emit_cap)
+        return result.pairs_a, result.pairs_b, result.count, result.overflow
+
+    d_args = tuple(jax.device_put(x) for x in (bmin, bmax, ids))
+    out = step(*d_args)
+    jax.block_until_ready(out)
+    p50, _ = _pipelined_p50(step, d_args, iters=iters, batch=8)
+    return p50, int(out[2]), bool(out[3])
+
+
+def bench_ball_pit_lifecycle(n=10_000, frames=120):
+    """The example app's Lifecycle soak (reference examples/main.rs
+    spawn/expire loop) as a bench row: run the headless ball pit with
+    --lifecycle in a subprocess and parse its ms/frame summary.
+    Returns (ms_per_frame or None, total_collisions or None)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        r = subprocess.run(
+            [sys.executable, "-u", os.path.join(here, "examples",
+                                                "ball_pit.py"),
+             "--balls", str(n), "--frames", str(frames), "--lifecycle"],
+            capture_output=True, text=True, timeout=1500, cwd=here)
+    except subprocess.TimeoutExpired:
+        return None, None
+    if r.returncode != 0:
+        print(f"ball_pit --lifecycle failed: {r.stderr[-500:]}",
+              file=sys.stderr)
+        return None, None
+    ms = cols = None
+    for line in r.stdout.splitlines():
+        if "ms/frame" in line:
+            try:
+                ms = float(line.split("ms/frame")[0].split(",")[-1].strip())
+                cols = int(line.rsplit("total collisions", 1)[1].strip())
+            except (ValueError, IndexError):
+                pass
+    return ms, cols
+
+
 def bench_queries(n=100_000, iters=30):
     """test_box / test_ray / pick_ray on a generated scene
     (BASELINE.md query config)."""
@@ -652,10 +751,27 @@ def child_main():
     print(f"batched queries (Q per launch) p50 us/query: {qb}",
           file=sys.stderr)
 
-    m_p50, m_pairs, m_ovf = bench_merge_scan_filtered(
-        100_000 if on_tpu else 5_000)
-    print(f"merge_static+scan_filtered 100k: p50={m_p50:.3f} ms "
+    m_n = 1_000_000 if on_tpu else 5_000
+    m_p50, m_pairs, m_ovf = bench_merge_scan_filtered(m_n)
+    print(f"merge_static+scan_filtered n={m_n}: p50={m_p50:.3f} ms "
           f"pairs={m_pairs} overflow={m_ovf}", file=sys.stderr)
+
+    w_p50, w_pairs, w_ovf = bench_full_step_wide(
+        1_000_000 if on_tpu else 20_000)
+    print(f"full_step_wide_ids n={n_big} (ids >= 2^25, emit-once off): "
+          f"p50={w_p50:.3f} ms pairs={w_pairs} overflow={w_ovf}",
+          file=sys.stderr)
+
+    d2_p50, d2_pairs, d2_ovf = bench_index64_2d(
+        1_000_000 if on_tpu else 20_000)
+    print(f"index64_2d full_step n={n_big}: p50={d2_p50:.3f} ms "
+          f"pairs={d2_pairs} overflow={d2_ovf}", file=sys.stderr)
+
+    lc_ms, lc_cols = bench_ball_pit_lifecycle(
+        10_000 if on_tpu else 2_000, frames=120 if on_tpu else 30)
+    print(f"ball_pit --lifecycle soak: "
+          f"{lc_ms if lc_ms is not None else 'FAILED'} ms/frame, "
+          f"collisions={lc_cols}", file=sys.stderr)
 
     p50_small, pairs_small, lat_small, ovf_small = \
         bench_full_step(n_small)
@@ -700,7 +816,7 @@ def child_main():
         # record itself) — includes the ball-pit and merge scenes (ADVICE
         # round 3)
         "overflow": bool(ovf_small or ovf_big or bp_ovf or m_ovf or u_ovf
-                         or sq_ovf or u_big_ovf),
+                         or sq_ovf or u_big_ovf or w_ovf or d2_ovf),
         # pair-for-pair 30k device-vs-C++-oracle check, run unconditionally
         # this process; false invalidates the record (orchestrator retries)
         # — the update() bench's exact-parity check and the unsorted
@@ -723,6 +839,11 @@ def child_main():
         "update_1M_sweep_ms": {f"{k:.3f}": round(v, 4)
                                for k, v in u_sweep.items()},
         "update_break_even_frac": u_be,
+        # BASELINE config matrix rows (VERDICT r4 #5/#6)
+        "full_step_1M_wide_p50_ms": round(w_p50, 4),
+        "merge_scan_filtered_1M_p50_ms": round(m_p50, 4),
+        "index64_2d_1M_p50_ms": round(d2_p50, 4),
+        "ball_pit_lifecycle_ms_frame": lc_ms,
     }))
 
 

@@ -457,6 +457,62 @@ def smoke_singleq_vs_linear():
             and float(got.distance) == float(want.distance))
 
 
+@_case("pallas_merge: fused merge-cancel-compact vs XLA reference, compiled")
+def smoke_pallas_merge():
+    # round-5 update-path kernel at its production tile/window sizes;
+    # CI covers interpret mode only (tests/test_pallas_merge.py)
+    from ..ops.compact import stable_compact
+    from ..ops.merge import bitonic_merge
+    from ..ops.pallas_merge import merge_cancel_compact
+
+    rng = np.random.default_rng(31)
+    n_tree, n_tomb, n_ins = 100_000, 3_000, 2_500
+    total = n_tree + n_ins
+    keys = rng.choice(np.uint64(1) << 40, size=total,
+                      replace=False).astype(np.uint64)
+    meta = (rng.integers(0, 1 << 24, total).astype(np.uint64) << 1)
+    tk, ik = keys[:n_tree], keys[n_tree:]
+    tm, im = meta[:n_tree], meta[n_tree:]
+    o = np.argsort(tk, kind="stable")
+    tk, tm = tk[o], tm[o]
+    ti = rng.choice(n_tree, size=n_tomb, replace=False)
+    ck = np.concatenate([tk[ti], ik])
+    cm = np.concatenate([tm[ti] | 1, im])
+    o = np.lexsort((cm, ck))
+    ck, cm = ck[o], cm[o]
+    cap = n_tree + n_ins + 128
+    cbuf = 8192
+
+    def pad(cols, n):
+        return tuple(jnp.asarray(np.concatenate(
+            [c, np.full(n - len(c), 0xFFFF_FFFF, np.uint32)]))
+            for c in cols)
+
+    tc = pad(((tk >> 32).astype(np.uint32),
+              (tk & 0xFFFFFFFF).astype(np.uint32),
+              tm.astype(np.uint32)), cap)
+    cc = pad(((ck >> 32).astype(np.uint32),
+              (ck & 0xFFFFFFFF).astype(np.uint32),
+              cm.astype(np.uint32)), cbuf)
+
+    got_cols, got_cnt, w_ovf = merge_cancel_compact(
+        tc, cc, jnp.int32(n_tomb + n_ins), cap, interpret=False)
+    assert not bool(w_ovf)
+    assert int(got_cnt) == n_tree + n_ins - n_tomb
+
+    merged = bitonic_merge(tc, cc, num_keys=3)
+    nxt = tuple(jnp.concatenate([c[1:], c[:1]]) for c in merged)
+    eq = (merged[0] == nxt[0]) & (merged[1] == nxt[1]) \
+        & ((merged[2] >> 1) == (nxt[2] >> 1))
+    dead = (eq & ((nxt[2] & 1) == 1)) | ((merged[2] & 1) == 1)
+    want_cols, _ = stable_compact(~dead, merged,
+                                  tuple(jnp.uint32(0xFFFF_FFFF)
+                                        for _ in range(3)))
+    for g, w in zip(got_cols, want_cols):
+        np.testing.assert_array_equal(np.asarray(g),
+                                      np.asarray(w[:cap]))
+
+
 def main():
     dev = jax.devices()[0]
     print(f"tpu_smoke on {dev.platform} "
