@@ -99,11 +99,12 @@ def _bitonic_stage(cols, s: int, idx):
 
 
 def _make_kernel(nc: int, n_tiles: int, churn_total: int,
-                 tile_rows: int, window_rows: int):
+                 tile_rows: int, window_rows: int, out_blocks: int):
     TR = tile_rows
     TL = TR * LANES
     WR = window_rows
     WC = WR * LANES
+    WRB = ((WR + 1 + 7) // 8) * 8   # sublane-aligned window DMA rows
     MR = 2 * TR                     # merged rows (tree tile + tail block)
     ML = MR * LANES
     SR = 4 * TR                     # staging rows
@@ -117,10 +118,11 @@ def _make_kernel(nc: int, n_tiles: int, churn_total: int,
         out = refs[2 * nc + 1:3 * nc + 1]
         cnt_ref = refs[3 * nc + 1]
         ovf_ref = refs[3 * nc + 2]
-        wbuf = refs[3 * nc + 3:4 * nc + 3]      # VMEM (WR+1, LANES)
+        wbuf = refs[3 * nc + 3:4 * nc + 3]      # VMEM (WRB, LANES)
         stage = refs[4 * nc + 3:5 * nc + 3]     # VMEM (SR, LANES)
-        pos_ref = refs[5 * nc + 3]              # SMEM (2,)
-        sems = refs[5 * nc + 4]                 # DMA sems (2, nc)
+        pos_ref = refs[5 * nc + 3]              # SMEM (3,): staged,
+        #                                         flushed blocks, ovf
+        sems = refs[5 * nc + 4]                 # DMA sems (2*nc,) flat
 
         g = pl.program_id(0)
 
@@ -128,8 +130,7 @@ def _make_kernel(nc: int, n_tiles: int, churn_total: int,
         def _init():
             pos_ref[0] = 0
             pos_ref[1] = 0
-            cnt_ref[0] = 0
-            ovf_ref[0] = 0
+            pos_ref[2] = 0
             for s in stage:
                 s[:] = jnp.full((SR, LANES), ones, jnp.uint32)
 
@@ -137,12 +138,14 @@ def _make_kernel(nc: int, n_tiles: int, churn_total: int,
         c_lo = wb[g, 0]
         c_hi = wb[g, 1]
         w_len = jnp.clip(c_hi - c_lo, 0, WC)
-        ovf_ref[0] = jnp.where(c_hi - c_lo > WC, 1, ovf_ref[0])
+        # accumulate the window-overflow flag in SMEM scratch (outputs are
+        # only written once, at the final step)
+        pos_ref[2] = jnp.where(c_hi - c_lo > WC, 1, pos_ref[2])
         start_rev = churn_total - (c_lo + w_len)
         r0 = start_rev // LANES
         off0 = start_rev % LANES
         copies = [pltpu.make_async_copy(
-            cr.at[pl.ds(r0, WR + 1), :], wbuf[i], sems.at[0, i])
+            cr.at[pl.ds(r0, WRB), :], wbuf[i], sems.at[i])
             for i, cr in enumerate(churn_rev)]
         for c in copies:
             c.start()
@@ -159,7 +162,7 @@ def _make_kernel(nc: int, n_tiles: int, churn_total: int,
         merged = []
         for i in range(nc):
             blk = jnp.concatenate(
-                [wbuf[i][:], jnp.full((TR - WR - 1, LANES), ones,
+                [wbuf[i][:], jnp.full((TR - WRB, LANES), ones,
                                       jnp.uint32)], axis=0)
             tail = jnp.where(sidx >= TL - w_len, _elem_roll(blk, roll_by),
                              jnp.full((TR, LANES), ones, jnp.uint32))
@@ -197,10 +200,13 @@ def _make_kernel(nc: int, n_tiles: int, churn_total: int,
         pos_ref[0] = staged + k
 
         def _flush():
-            blk = pos_ref[1]
+            # clamp: if a miscount ever overfilled the staging (flagged by
+            # the caller's count-vs-capacity check), never DMA out of
+            # bounds — a bounded wrong answer, not a device fault
+            blk = jnp.minimum(pos_ref[1], out_blocks - 1)
             cps = [pltpu.make_async_copy(
                 st.at[pl.ds(0, TR), :],
-                o.at[pl.ds(blk * TR, TR), :], sems.at[1, i])
+                o.at[pl.ds(blk * TR, TR), :], sems.at[nc + i])
                 for i, (st, o) in enumerate(zip(stage, out))]
             for c in cps:
                 c.start()
@@ -221,16 +227,17 @@ def _make_kernel(nc: int, n_tiles: int, churn_total: int,
 
         @pl.when(g == n_tiles - 1)
         def _final():
-            blk = pos_ref[1]
+            blk = jnp.minimum(pos_ref[1], out_blocks - 1)
             cps = [pltpu.make_async_copy(
                 st.at[pl.ds(0, TR), :],
-                o.at[pl.ds(blk * TR, TR), :], sems.at[1, i])
+                o.at[pl.ds(blk * TR, TR), :], sems.at[nc + i])
                 for i, (st, o) in enumerate(zip(stage, out))]
             for c in cps:
                 c.start()
             for c in cps:
                 c.wait()
-            cnt_ref[0] = blk * TL + pos_ref[0]
+            cnt_ref[0] = pos_ref[1] * TL + pos_ref[0]
+            ovf_ref[0] = pos_ref[2]
 
     return kernel
 
@@ -304,7 +311,8 @@ def merge_cancel_compact(tree_cols: Sequence[jnp.ndarray],
 
     # reversed churn (+ DMA safety rows): window [a, b) of the ascending
     # churn is rows of the reversed array starting at NC - b
-    rev_rows = NC // LANES + window_rows + 2
+    wrb = ((window_rows + 1 + 7) // 8) * 8
+    rev_rows = NC // LANES + wrb + 2
     churn_rev = tuple(jnp.concatenate(
         [jnp.asarray(c, jnp.uint32)[::-1],
          jnp.full((rev_rows * LANES - NC,), ones, jnp.uint32)]
@@ -312,7 +320,8 @@ def merge_cancel_compact(tree_cols: Sequence[jnp.ndarray],
 
     out_len = N + ((NC + TL - 1) // TL + 2) * TL
 
-    kern = _make_kernel(nc, n_tiles, NC, tile_rows, window_rows)
+    kern = _make_kernel(nc, n_tiles, NC, tile_rows, window_rows,
+                        out_len // TL)
     outs = pl.pallas_call(
         kern,
         grid=(n_tiles,),
@@ -325,12 +334,12 @@ def merge_cancel_compact(tree_cols: Sequence[jnp.ndarray],
         out_shape=([jax.ShapeDtypeStruct((out_len // LANES, LANES),
                                          jnp.uint32)] * nc
                    + [jax.ShapeDtypeStruct((1,), jnp.int32)] * 2),
-        scratch_shapes=([pltpu.VMEM((window_rows + 1, LANES), jnp.uint32)]
+        scratch_shapes=([pltpu.VMEM((wrb, LANES), jnp.uint32)]
                         * nc
                         + [pltpu.VMEM((4 * tile_rows, LANES), jnp.uint32)]
                         * nc
-                        + [pltpu.SMEM((2,), jnp.int32),
-                           pltpu.SemaphoreType.DMA((2, nc))]),
+                        + [pltpu.SMEM((3,), jnp.int32),
+                           pltpu.SemaphoreType.DMA((2 * nc,))]),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
