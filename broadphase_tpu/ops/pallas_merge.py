@@ -285,6 +285,11 @@ def merge_cancel_compact(tree_cols: Sequence[jnp.ndarray],
     overflow (rebuild).
     """
     nc = len(tree_cols)
+    if ((window_rows + 1 + 7) // 8) * 8 > tile_rows:
+        raise ValueError(
+            f"window_rows={window_rows}: the sublane-aligned window DMA "
+            f"buffer must fit the tile (window_rows <= tile_rows - 8 = "
+            f"{tile_rows - 8})")
     TL = tile_rows * LANES
     WC = window_rows * LANES
     N0 = tree_cols[0].shape[0]

@@ -395,8 +395,10 @@ def smoke_update_vs_build():
         delta = rng.normal(0, 12.0, size=bmin.shape).astype(np.float32)
         bmin = np.where(move[:, None], bmin + delta, bmin).astype(np.float32)
         bmax = np.where(move[:, None], bmax + delta, bmax).astype(np.float32)
+        # churn_cap chosen so the fused Pallas merge kernel path runs
+        # (the production temporal-coherence regime)
         tracked = update(spec, tracked, sc.system_min, sc.system_max,
-                         bmin, bmax, churn_cap=16_384)
+                         bmin, bmax, churn_cap=8_192)
         want = layer.build(spec, sc.system_min, sc.system_max,
                            bmin, bmax, sc.ids, out_capacity=cap)
         assert not bool(tracked.state.overflow)

@@ -9,30 +9,31 @@ SAME cells as last frame.
 
 This module exploits that coherence TPU-first:
 
-* A :class:`TrackedScene` carries the sorted tree plus the per-object
-  emission table of its frame — each object's up-to-2^dim (cell key,
-  valid) slots, exactly what ``geom.emit_cells`` produced.
-* :func:`update` re-runs the emission *vector math* on the new bounds (no
-  sort — this is the cheap part of a build) and diffs the table per
-  object.  Objects that drifted **within** their cells emit identical
-  slots and add no churn — the common physics case; the diff is on cells,
-  not on raw coordinates, so sub-cell motion of every object is zero
-  churn.
-* Changed objects are extracted at OBJECT granularity (round 5): one
-  single-column stream compaction over the n object lanes finds the
-  changed-object index list, and only those objects' emission-table rows
-  are gathered — the churn streams are built from ``obj_cap * 2^dim``
-  lanes instead of the full ``n * 2^dim`` table, so extraction cost
-  scales with the churn bound, not the scene.
-* Changed objects' OLD slots become *tombstones* and their NEW slots
-  inserts; both sort into one small churn buffer and bitonic-merge into
-  the previous sorted tree (``ops/merge.py``, log(n) gather-free
-  stages).  A tombstone sorts via a low tag bit directly after the tree
-  entry it cancels; one adjacent-compare pass + a single streaming
-  compaction removes both.  No full-tree sort anywhere.  When every id
-  fits 28 bits the (id, aux, tag) triple packs into ONE u32 column
-  (monotone in id), so the merge, cancel, and compaction all run on
-  three u32 columns — the minimum the 64-bit key itself dictates.
+* A :class:`TrackedScene` carries the sorted tree plus last frame's raw
+  bounds and per-object emission SIGNATURE — (depth, truncated local
+  min/max, containment), the exact determinants of ``geom.emit_cells``'
+  output.
+* :func:`update` recomputes only the signature on the new bounds —
+  quantize + truncation, (N, dim) integer math, NO Morton spread — and
+  diffs it per object.  Objects that drifted **within** their cells have
+  identical signatures and add no churn — the common physics case.
+* Changed objects are extracted at OBJECT granularity: one single-column
+  stream compaction over the n object lanes finds the changed-object
+  index list, and the full emission (Morton grid walk) runs on ONLY
+  those objects' gathered bounds rows — old bounds for tombstones
+  (bit-identical re-derivation; ``to_local``'s barriers pin the f32 op
+  sequence elementwise), new bounds for inserts.  Emission cost scales
+  with the churn bound, not the scene.
+* Tombstones and inserts sort into one small churn buffer and merge into
+  the previous sorted tree.  On TPU a fused Pallas kernel
+  (``ops/pallas_merge.py``) streams the tree once in sorted tiles,
+  merging each tile's churn window in VMEM, cancelling tombstones (a
+  tombstone sorts via a low tag bit directly after the tree entry it
+  kills), and writing the compacted stream — one pass instead of three
+  full-tree XLA passes.  No full-tree sort anywhere.  When every id fits
+  28 bits the (id, aux, tag) triple packs into ONE u32 column (monotone
+  in id), so the whole pipeline runs on three u32 columns — the minimum
+  the 64-bit key itself dictates.
 
 The result is bit-identical to ``layer.build`` from scratch on the new
 bounds — same keys, ids, aux bits, count, and flags (differential-tested
@@ -76,12 +77,24 @@ _PACK_ID_BOUND = jnp.uint32((1 << 28) - 1)
 
 
 class TrackedScene(NamedTuple):
-    """A sorted layer plus the emission table that produced it."""
+    """A sorted layer plus last frame's bounds and emission SIGNATURE.
+
+    The per-object signature (depth, truncated local min/max, containment)
+    determines the emitted cell set exactly (``geom.emit_cells`` is a pure
+    function of it), so the per-frame diff needs only (N, dim)-shaped
+    integer compares — NO Morton spread over the full scene.  The raw
+    bounds are kept so changed objects' OLD emissions can be re-derived
+    (bit-identically: ``to_local``'s barriers pin the f32 op sequence
+    elementwise) for tombstones without storing the (N, S) key table."""
 
     state: LayerState
-    ids: jnp.ndarray         # (N,) uint32 — positionally stable object ids
-    emit_keys: Key           # (N, S) cell keys emitted last frame
-    emit_valid: jnp.ndarray  # (N, S) bool slot validity (incl. containment)
+    ids: jnp.ndarray           # (N,) uint32 — positionally stable ids
+    bounds_min: jnp.ndarray    # (N, dim) f32 — last frame's raw bounds
+    bounds_max: jnp.ndarray
+    sig_depth: jnp.ndarray     # (N,) u32
+    sig_tmin: jnp.ndarray      # (N, dim) u32 truncated local min
+    sig_tmax: jnp.ndarray      # (N, dim) u32 truncated local max
+    sig_contained: jnp.ndarray  # (N,) bool
 
 
 def _compact(keep, cols, fills):
@@ -95,10 +108,10 @@ def _compact(keep, cols, fills):
                           tuple(jnp.uint32(f) for f in fills))
 
 
-def _emit_table(spec: IndexSpec, system_min, system_max,
-                bounds_min, bounds_max, min_depth, slots_per_axis: int):
-    """(keys (N,S), valid (N,S), contained (N,), cell_ovf ()) — the same
-    emission ``layer.build``/``extend`` run, kept in table form."""
+def _signature(spec: IndexSpec, system_min, system_max,
+               bounds_min, bounds_max, min_depth):
+    """(depth (N,), tmin (N,dim), tmax (N,dim), contained (N,)) — the
+    exact determinants of ``geom.emit_cells``' output for each object."""
     smin = jnp.asarray(system_min, jnp.float32)
     smax = jnp.asarray(system_max, jnp.float32)
     bmin = jnp.asarray(bounds_min, jnp.float32)
@@ -106,35 +119,55 @@ def _emit_table(spec: IndexSpec, system_min, system_max,
     contained = geom.bounds_contains(smin, smax, bmin, bmax)
     lmin = geom.to_local(smin, smax, bmin)
     lmax = geom.to_local(smin, smax, bmax)
-    keys, valid, cell_ovf = geom.emit_cells(spec, lmin, lmax, min_depth,
-                                            slots_per_axis)
-    valid = valid & contained[:, None]
-    return keys, valid, contained, jnp.any(cell_ovf & contained)
+    depth = geom.depth_for_bounds(spec, lmin, lmax, min_depth)
+    tmin = geom.truncate_to_depth(lmin, depth[:, None])
+    tmax = geom.truncate_to_depth(lmax, depth[:, None])
+    return depth, tmin, tmax, contained
+
+
+def _sig_slot_count(depth, tmin, tmax, contained, A: int):
+    """Live emitted slots per object implied by a signature, plus the
+    per-object cell-overflow flag — pure vector math, no Morton spread."""
+    shift = jnp.minimum(jnp.uint32(32) - depth, jnp.uint32(31))
+    span = (tmax - tmin) >> shift[:, None]
+    naxis = jnp.where(depth[:, None] == 0, jnp.uint32(1),
+                      span + jnp.uint32(1))
+    ovf = jnp.any(naxis > jnp.uint32(A), axis=-1) & contained
+    cnt = jnp.prod(jnp.minimum(naxis, jnp.uint32(A)),
+                   axis=-1).astype(jnp.int32)
+    return jnp.where(contained, cnt, 0), ovf
 
 
 def build_tracked(spec: IndexSpec, system_min, system_max,
                   bounds_min, bounds_max, ids,
                   slots_per_axis: int = 2, min_depth=0,
                   out_capacity: Optional[int] = None) -> TrackedScene:
-    """Full build (``layer.build``) + capture the emission table."""
+    """Full build (``layer.build``) + capture bounds and signature."""
     state = build(spec, system_min, system_max, bounds_min, bounds_max,
                   ids, slots_per_axis=slots_per_axis, min_depth=min_depth,
                   out_capacity=out_capacity)
-    keys, valid, _, _ = _emit_table(spec, system_min, system_max,
-                                    bounds_min, bounds_max,
-                                    jnp.uint32(min_depth), slots_per_axis)
-    return TrackedScene(state, jnp.asarray(ids, jnp.uint32), keys, valid)
+    depth, tmin, tmax, contained = _signature(
+        spec, system_min, system_max, bounds_min, bounds_max,
+        jnp.uint32(min_depth))
+    return TrackedScene(state, jnp.asarray(ids, jnp.uint32),
+                        jnp.asarray(bounds_min, jnp.float32),
+                        jnp.asarray(bounds_max, jnp.float32),
+                        depth, tmin, tmax, contained)
 
 
-def _key_rows(spec: IndexSpec, keys: Key, n: int, S: int, obj_idx):
-    """Gather whole emission-table rows for the changed objects.
-
-    Key tables are (N, S); changed objects are few, so row gathers (S
-    contiguous u32 per row per column) beat streaming the full table
-    through a multi-column compaction by the churn/scene ratio."""
-    if spec.bits == 32:
-        return (keys.reshape(n, S)[obj_idx],)
-    return (keys.hi.reshape(n, S)[obj_idx], keys.lo.reshape(n, S)[obj_idx])
+def _emit_rows(spec: IndexSpec, system_min, system_max,
+               bmin_rows, bmax_rows, min_depth, slots_per_axis: int):
+    """Full emission (quantize + Morton grid walk) on GATHERED object
+    rows only — the spread cost scales with the churn bound, not the
+    scene.  Returns (key sort cols (OC,S)..., valid (OC,S))."""
+    smin = jnp.asarray(system_min, jnp.float32)
+    smax = jnp.asarray(system_max, jnp.float32)
+    contained = geom.bounds_contains(smin, smax, bmin_rows, bmax_rows)
+    lmin = geom.to_local(smin, smax, bmin_rows)
+    lmax = geom.to_local(smin, smax, bmax_rows)
+    keys, valid, _ = geom.emit_cells(spec, lmin, lmax, min_depth,
+                                     slots_per_axis)
+    return bidx.sort_operands(spec, keys), valid & contained[:, None]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 6, 7, 8, 9, 10))
@@ -161,29 +194,42 @@ def update(spec: IndexSpec, tracked: TrackedScene,
     OC = obj_cap if obj_cap is not None else churn_cap
     n = tracked.ids.shape[0]
 
-    new_keys, new_valid, contained, cell_ovf = _emit_table(
-        spec, system_min, system_max, bounds_min, bounds_max,
-        state.min_depth, slots_per_axis)
+    bmin_f = jnp.asarray(bounds_min, jnp.float32)
+    bmax_f = jnp.asarray(bounds_max, jnp.float32)
+    depth_n, tmin_n, tmax_n, cont_n = _signature(
+        spec, system_min, system_max, bmin_f, bmax_f, state.min_depth)
 
-    # per-object cell diff: identical slots (the within-cell-drift common
-    # case) cost nothing
-    slot_diff = (~bidx.key_eq(spec, new_keys, tracked.emit_keys)
-                 & (new_valid | tracked.emit_valid)) \
-        | (new_valid != tracked.emit_valid)
-    changed = jnp.any(slot_diff, axis=-1)                      # (N,)
+    # per-object SIGNATURE diff: equal (depth, truncated bounds,
+    # containment) implies identical emissions (emit_cells is a pure
+    # function of the signature), so within-cell drift of every object is
+    # zero churn and the diff never touches the Morton spread.  Objects
+    # outside the system on both frames emit nothing either way.
+    changed = ((depth_n != tracked.sig_depth)
+               | (cont_n != tracked.sig_contained)
+               | jnp.any((tmin_n != tracked.sig_tmin)
+                         | (tmax_n != tracked.sig_tmax), axis=-1)) \
+        & (cont_n | tracked.sig_contained)
 
-    # exact churn counts from the full tables (caps are checked against
-    # these, so a truncated extraction can never pass silently)
-    tomb_cnt = jnp.sum((changed[:, None] & tracked.emit_valid)
-                       .astype(jnp.int32))
-    ins_cnt = jnp.sum((changed[:, None] & new_valid).astype(jnp.int32))
+    # exact churn counts derived from the signatures (caps are checked
+    # against these, so a truncated extraction can never pass silently)
+    old_cnt, _old_ovf = _sig_slot_count(
+        tracked.sig_depth, tracked.sig_tmin, tracked.sig_tmax,
+        tracked.sig_contained, slots_per_axis)
+    new_cnt, new_ovf = _sig_slot_count(depth_n, tmin_n, tmax_n, cont_n,
+                                       slots_per_axis)
+    cell_ovf = jnp.any(new_ovf)
+    contained = cont_n
+    tomb_cnt = jnp.sum(jnp.where(changed, old_cnt, 0))
+    ins_cnt = jnp.sum(jnp.where(changed, new_cnt, 0))
     obj_cnt = jnp.sum(changed.astype(jnp.int32))
     churn_ovf = (tomb_cnt > C) | (ins_cnt > C) | (obj_cnt > OC)
     if _stage == "emit_diff":      # profiler prefix (tools/profile_update)
         return tomb_cnt, ins_cnt, obj_cnt, cell_ovf
 
     # --- object-granular extraction: one 1-column compaction over the n
-    # object lanes, then row gathers of only the changed objects --------
+    # object lanes, then bounds-row gathers + emission of ONLY the
+    # changed objects (old rows re-derive last frame's cells bit-exactly
+    # from the stored bounds) -------------------------------------------
     (obj_idx_u,), _cnt = _compact(changed,
                                   (jnp.arange(n, dtype=jnp.uint32),),
                                   (n,))
@@ -192,10 +238,14 @@ def update(spec: IndexSpec, tracked: TrackedScene,
     row_live = jnp.arange(OC, dtype=jnp.int32) < jnp.minimum(obj_cnt, OC)
     obj_idx = jnp.clip(obj_idx_u.astype(jnp.int32), 0, max(n - 1, 0))
 
-    old_k_rows = _key_rows(spec, tracked.emit_keys, n, S, obj_idx)
-    new_k_rows = _key_rows(spec, new_keys, n, S, obj_idx)
-    old_v_rows = tracked.emit_valid.reshape(n, S)[obj_idx] & row_live[:, None]
-    new_v_rows = new_valid.reshape(n, S)[obj_idx] & row_live[:, None]
+    old_k_rows, old_v = _emit_rows(
+        spec, system_min, system_max, tracked.bounds_min[obj_idx],
+        tracked.bounds_max[obj_idx], state.min_depth, slots_per_axis)
+    new_k_rows, new_v = _emit_rows(
+        spec, system_min, system_max, bmin_f[obj_idx], bmax_f[obj_idx],
+        state.min_depth, slots_per_axis)
+    old_v_rows = old_v & row_live[:, None]
+    new_v_rows = new_v & row_live[:, None]
     ids_rows = tracked.ids[obj_idx]                            # (OC,)
 
     aux_row = _slot_aux(spec, slots_per_axis)                  # (S,)
@@ -268,7 +318,8 @@ def update(spec: IndexSpec, tracked: TrackedScene,
     _TL = _TR * _L
     capN = -(-cap // _TL) * _TL
     wr_needed = -(-5 * 2 * C * _TL // (2 * max(capN, 1) * _L))
-    use_kernel = _use_pallas_expand() and wr_needed <= _TR
+    # the sublane-aligned window buffer must fit the tile: wr + 8 <= TR
+    use_kernel = _use_pallas_expand() and wr_needed <= _TR - 8
 
     if use_kernel:
         # fused windowed merge + cancel + compaction: one streaming pass
@@ -343,4 +394,5 @@ def update(spec: IndexSpec, tracked: TrackedScene,
         invalid_count=jnp.sum((~contained).astype(jnp.int32)),
         overflow=overflow,
     )
-    return TrackedScene(new_state, tracked.ids, new_keys, new_valid)
+    return TrackedScene(new_state, tracked.ids, bmin_f, bmax_f,
+                        depth_n, tmin_n, tmax_n, cont_n)
