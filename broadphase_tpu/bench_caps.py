@@ -13,6 +13,14 @@ EMIT_SLACK = 16
 # emit-once rule guarantees the pair buffer only ever holds unique pairs,
 # so 9 leaves 5.5% headroom; overflow is flagged in the bench JSON record
 # and fails BROADPHASE_VERIFY.
+#
+# WIDE-ID REGIME (ids >= 2^24, VERDICT r4 #5): the emit-once rule is
+# unavailable, the scan degrades to keep-all, and the PAIR buffer must be
+# sized for RAW emissions — EMIT_SLACK (15.72/object measured at 1M),
+# not PAIR_SLACK.  Ids >= 2^20 additionally disable the packed pair sort
+# and the two-column tree-sort tier; ids >= 2^29 drop aux entirely.  The
+# bench measures this regime as full_step_1M_wide_p50_ms (18x slack at
+# 1M; 40x for small scenes, whose relatively larger boxes emit more).
 PAIR_SLACK = 9
 
 # Tree cells per object (3.28 measured) + ~12% headroom.
