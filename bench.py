@@ -396,7 +396,8 @@ def bench_ball_pit_lifecycle(n=10_000, frames=120):
         r = subprocess.run(
             [sys.executable, "-u", os.path.join(here, "examples",
                                                 "ball_pit.py"),
-             "--balls", str(n), "--frames", str(frames), "--lifecycle"],
+             "--balls", str(n), "--frames", str(frames), "--lifecycle",
+             "--chunk", "10"],
             capture_output=True, text=True, timeout=1500, cwd=here)
     except subprocess.TimeoutExpired:
         return None, None
@@ -771,8 +772,10 @@ def child_main():
     print(f"index64_2d full_step n={n_big}: p50={d2_p50:.3f} ms "
           f"pairs={d2_pairs} overflow={d2_ovf}", file=sys.stderr)
 
+    # the reference Lifecycle caps the population at 2500 balls
+    # (examples/main.rs:303-306) — soak at reference parity
     lc_ms, lc_cols = bench_ball_pit_lifecycle(
-        10_000 if on_tpu else 2_000, frames=120 if on_tpu else 30)
+        2_500 if on_tpu else 1_000, frames=240 if on_tpu else 30)
     print(f"ball_pit --lifecycle soak: "
           f"{lc_ms if lc_ms is not None else 'FAILED'} ms/frame, "
           f"collisions={lc_cols}", file=sys.stderr)

@@ -58,7 +58,7 @@ SPAWNS_PER_FRAME = max(1, int(2500 * float(DT) * 1000.0 // (LIFETIME_MIN
 
 
 def make_step(n: int, pair_cap: int, brute_force: bool,
-              lifecycle: bool = False):
+              lifecycle: bool = False, frames_per_launch: int = 1):
     smin = jnp.zeros(2, jnp.float32)
     smax = jnp.full(2, WORLD, jnp.float32)
     obj_ids = jnp.arange(n, dtype=jnp.uint32)
@@ -134,8 +134,14 @@ def make_step(n: int, pair_cap: int, brute_force: bool,
                                                 expires[idx]))
         return pos, prev, radius, expires, expires > sim
 
-    @jax.jit
-    def step(pos, prev, radius, ray_dir, expires, sim, key):
+    def _frame(pos, prev, radius, expires, sim, key):
+        # sweeping pick ray from the top center, computed ON DEVICE from
+        # the sim clock (a per-frame host-built ray array would cost one
+        # h2d transfer per frame — ~ms through this environment's tunnel)
+        frame = sim / jnp.float32(DT)
+        a = jnp.float32(-1.9) + jnp.float32(1.4) \
+            * (jnp.mod(frame, 120.0) / jnp.float32(120.0))
+        ray_dir = jnp.stack([jnp.sin(a) * jnp.float32(0.4), jnp.cos(a)])
         if lifecycle:
             pos, prev, radius, expires, alive = lifecycle_update(
                 pos, prev, radius, expires, sim, key)
@@ -171,7 +177,32 @@ def make_step(n: int, pair_cap: int, brute_force: bool,
                 jnp.sum(hit.astype(jnp.int32)),
                 jnp.sum(alive.astype(jnp.int32)), pick)
 
-    return step
+    if frames_per_launch <= 1:
+        return jax.jit(_frame)
+
+    # soak mode: run frames_per_launch frames per dispatch in a device-side
+    # lax.scan — through this environment's TPU tunnel every dependent
+    # dispatch costs ~20 ms of round-trip latency, which would swamp the
+    # ~2 ms of device work per frame; the reference's per-frame printout
+    # becomes a per-launch summary
+    @jax.jit
+    def step_chunk(pos, prev, radius, expires, sim, key):
+        def one(carry, _):
+            pos, prev, radius, expires, sim, key = carry
+            key, sub = jax.random.split(key)
+            p2, pr2, r2, e2, ncol, nalive, pick = _frame(
+                pos, prev, radius, expires, sim, sub)
+            return ((p2, pr2, r2, e2, sim + DT, key),
+                    (ncol, nalive, pick[0], pick[1], pick[2]))
+        carry, ys = jax.lax.scan(
+            one, (pos, prev, radius, expires, sim, key), None,
+            length=frames_per_launch)
+        p2, pr2, r2, e2, sim2, key2 = carry
+        pick_last = (ys[2][-1], ys[3][-1], ys[4][-1])
+        return (p2, pr2, r2, e2, jnp.sum(ys[0]), ys[1][-1], pick_last,
+                sim2, key2)
+
+    return step_chunk
 
 
 def main(argv=None):
@@ -183,6 +214,9 @@ def main(argv=None):
                     help="spawn/expire balls per frame (main.rs:281-332)")
     ap.add_argument("--png-every", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="frames per device launch (lax.scan soak mode; "
+                    "1 = the reference's interactive per-frame loop)")
     args = ap.parse_args(argv)
 
     n = args.balls
@@ -199,39 +233,70 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
 
     pair_cap = -(-32 * n // 1024) * 1024   # tile-aligned for the TPU kernel
+    chunk = max(1, args.chunk)
     step = make_step(n, pair_cap=pair_cap, brute_force=args.brute_force,
-                     lifecycle=args.lifecycle)
+                     lifecycle=args.lifecycle, frames_per_launch=chunk)
 
-    def ray_at(frame):
-        # sweeping ray from the top center (headless cursor analog)
-        a = np.float32(-1.9 + 1.4 * ((frame % 120) / 120.0))
-        return jnp.asarray([np.sin(a) * 0.4, np.cos(a)], jnp.float32)
-
-    out = step(pos, prev, radius, ray_at(0), expires,
+    out = step(pos, prev, radius, expires,
                jnp.float32(0.0), key)                        # compile
     jax.block_until_ready(out[0])
 
-    total_col = 0
+    if chunk > 1:
+        col_counts = []
+        sim = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        launches = max(1, args.frames // chunk)
+        for li in range(launches):
+            fs = time.perf_counter()
+            pos, prev, radius, expires, ncol, nalive, pick, sim, key = \
+                step(pos, prev, radius, expires, sim, key)
+            col_counts.append(ncol)
+            if li % 3 == 0:
+                picked = (f"pick id={int(pick[0])} d={float(pick[1]):.3f}"
+                          if bool(pick[2]) else "pick miss")
+                elapsed = (time.perf_counter() - fs) * 1e6
+                print(f"frame {li * chunk:4d}: balls: {int(nalive):5d} "
+                      f"collisions: {int(ncol):6d} "
+                      f"elapsed: {elapsed:9.0f}us  {picked}")
+        jax.block_until_ready(pos)
+        dt = time.perf_counter() - t0
+        total_col = int(np.sum([int(c) for c in col_counts]))
+        frames = launches * chunk
+        print(f"{frames} frames, {n} ball slots, "
+              f"{dt / frames * 1e3:.2f} ms/frame, "
+              f"total collisions {total_col}")
+        return
+
+    # physics state stays on device; host syncs only on print frames —
+    # this environment's tunnel adds ~30 ms per blocking readback, which
+    # would otherwise dominate the per-frame cost (the counters are tiny
+    # device scalars, collected and summed after the loop)
+    col_counts = []
+    sim = jnp.float32(0.0)           # device-resident sim clock: a fresh
+    #                                  host scalar per frame would cost one
+    #                                  h2d transfer per dispatch
     t0 = time.perf_counter()
     for frame in range(args.frames):
         fs = time.perf_counter()
         key, sub = jax.random.split(key)
-        sim = jnp.float32(frame * float(DT))
         pos, prev, radius, expires, ncol, nalive, pick = step(
-            pos, prev, radius, ray_at(frame), expires, sim, sub)
-        ncol = int(ncol)
-        total_col += ncol
-        elapsed = (time.perf_counter() - fs) * 1e6
+            pos, prev, radius, expires, sim, sub)
+        sim = sim + DT
+        col_counts.append(ncol)
         if frame % 30 == 0:
-            # reference per-frame printout (main.rs:480-506)
+            # reference per-frame printout (main.rs:480-506); forcing the
+            # readback here also bounds in-flight work
             picked = (f"pick id={int(pick[0])} d={float(pick[1]):.3f}"
                       if bool(pick[2]) else "pick miss")
+            elapsed = (time.perf_counter() - fs) * 1e6
             print(f"frame {frame:4d}: balls: {int(nalive):5d} "
-                  f"collisions: {ncol:6d} "
+                  f"collisions: {int(ncol):6d} "
                   f"elapsed: {elapsed:9.0f}us  {picked}")
         if args.png_every and frame % args.png_every == 0:
             _render(np.asarray(pos), np.asarray(radius), frame)
+    jax.block_until_ready(pos)
     dt = time.perf_counter() - t0
+    total_col = int(np.sum([int(c) for c in col_counts]))
     print(f"{args.frames} frames, {n} ball slots, "
           f"{dt / args.frames * 1e3:.2f} ms/frame, "
           f"total collisions {total_col}")
