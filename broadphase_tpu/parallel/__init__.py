@@ -18,3 +18,8 @@ from .layer import (  # noqa: F401
     make_queries_sharded,
     make_scan_sharded,
 )
+from .update import (  # noqa: F401
+    ShardedTracked,
+    make_build_tracked_sharded,
+    make_update_sharded,
+)

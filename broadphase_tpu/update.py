@@ -170,6 +170,123 @@ def _emit_rows(spec: IndexSpec, system_min, system_max,
     return bidx.sort_operands(spec, keys), valid & contained[:, None]
 
 
+def _pack_meta(dim: int, ids2, aux2, tag):
+    """(id, aux, tag) -> one u32, monotone in (id, aux, tag)."""
+    return ((ids2 << jnp.uint32(dim + 1)) | (aux2 << jnp.uint32(1))
+            | jnp.uint32(tag))
+
+
+def _churn_stream(spec: IndexSpec, ids_rows, aux_row, k_rows, v_rows,
+                  tag: int, wide_ids: bool):
+    """One churn side's (key cols + meta cols) flat stream + keep mask.
+
+    k_rows: key sort cols (OC, S); v_rows: (OC, S) validity; ids_rows:
+    (OC,); aux_row: (S,) static slot-aux.  Invalid lanes are all-ones."""
+    OC, S = v_rows.shape
+    dim = spec.dim
+    kc = tuple(c.reshape(OC * S) for c in k_rows)
+    keep = v_rows.reshape(OC * S)
+    ids2 = jnp.broadcast_to(ids_rows[:, None], (OC, S)).reshape(OC * S)
+    aux2 = jnp.broadcast_to(aux_row[None, :], (OC, S)).reshape(OC * S)
+    if wide_ids:
+        # build drops aux to zeros for wide ids (layer._sort_now:
+        # emit-once degrades to keep-all), so parity requires the same
+        # here; the meta column carries only the tag
+        meta = (ids2, jnp.full_like(ids2, jnp.uint32(tag)))
+    else:
+        meta = (_pack_meta(dim, ids2, aux2, tag),)
+    ones = jnp.uint32(0xFFFF_FFFF)
+    return tuple(jnp.where(keep, c, ones) for c in kc + meta), keep
+
+
+def _tree_merge_cols(spec: IndexSpec, state: LayerState, wide_ids: bool):
+    """The sorted tree as merge columns (key cols + (id, aux, tag=0)
+    meta); pads stay all-ones in every column."""
+    kc = bidx.sort_operands(spec, state.keys)
+    t_live = state.ids != PAD_ID
+    ones = jnp.uint32(0xFFFF_FFFF)
+    if wide_ids:
+        return kc + (state.ids, jnp.where(t_live, jnp.uint32(0), ones))
+    return kc + (jnp.where(t_live,
+                           _pack_meta(spec.dim, state.ids, state.aux, 0),
+                           ones),)
+
+
+def _merge_churn(spec: IndexSpec, tree_cols, churn, churn_live,
+                 cap: int, C: int, wide_ids: bool):
+    """Merge a SORTED churn buffer (2C lanes) into sorted tree columns,
+    cancel tombstones, compact.  Returns (out cols (cap,), count,
+    window_overflow, used_kernel).
+
+    Kernel viability: the fused Pallas merge (ops/pallas_merge.py)
+    streams the tree ONCE with per-tile churn windows; it fits when the
+    average window (2.5x headroom) is within a tile.  Whole-tree churn
+    (tests, degenerate scenes) exceeds any window — the global XLA
+    formulation runs there."""
+    nk = spec.bits // 32
+    dim = spec.dim
+    from .ops.pallas_merge import LANES as _L, TILE_ROWS as _TR
+    _TL = _TR * _L
+    capN = -(-cap // _TL) * _TL
+    wr_needed = -(-5 * 2 * C * _TL // (2 * max(capN, 1) * _L))
+    # the sublane-aligned window buffer must fit the tile: wr + 8 <= TR
+    use_kernel = _use_pallas_expand() and wr_needed <= _TR - 8
+
+    if use_kernel:
+        from .ops.pallas_merge import merge_cancel_compact
+        out, new_count, merge_ovf = merge_cancel_compact(
+            tree_cols, churn, churn_live, cap,
+            window_rows=int(max(8, wr_needed)),
+            interpret=jax.default_backend() != "tpu")
+        return out, new_count, merge_ovf, True
+
+    merged = bitonic_merge(tree_cols, churn, num_keys=len(tree_cols))
+    m_key = bidx.key_from_columns(spec, merged[:nk])
+    if wide_ids:
+        m_ids = merged[nk]
+        m_tag = merged[nk + 1] & jnp.uint32(3)
+    else:
+        m_ids = merged[nk] >> jnp.uint32(dim + 1)
+        m_tag = merged[nk] & jnp.uint32(1)
+
+    # cancel: a tree entry directly followed by its tombstone dies with
+    # it (adjacent access via shifts — a gather over the merged lanes
+    # would cost ~10 ns/elem; these are pure vector passes).  The packing
+    # guarantees adjacency: tree entry and tombstone differ only in the
+    # lowest tag bit, so nothing sorts between them.
+    def _shift1(c):
+        return jnp.concatenate([c[1:], c[:1]])
+    nxt_key = bidx.key_from_columns(
+        spec, tuple(_shift1(c) for c in merged[:nk]))
+    same = bidx.key_eq(spec, m_key, nxt_key) & (m_ids == _shift1(m_ids))
+    # pad lanes (all-ones keys — never a live cell: the depth field of an
+    # all-ones key exceeds clamp_depth in every spec) are dead weight the
+    # compaction drops and the fill re-pads
+    pad_mask = bidx.key_eq(spec, m_key, spec.pad_key(m_ids.shape))
+    is_tomb = m_tag == 1
+    keep = ~((same & (_shift1(is_tomb))) | is_tomb | pad_mask)
+
+    new_count = jnp.sum(keep.astype(jnp.int32))
+    out, _ = _compact(keep, merged, (0xFFFF_FFFF,) * len(merged))
+    return (tuple(c[:cap] for c in out), new_count, jnp.bool_(False),
+            False)
+
+
+def _unpack_meta(spec: IndexSpec, out, cap: int, new_count,
+                 wide_ids: bool):
+    """(ids, aux) of the merged output's live prefix."""
+    nk = spec.bits // 32
+    dim = spec.dim
+    lane = jnp.arange(cap, dtype=jnp.int32)
+    live = lane < jnp.minimum(new_count, cap)
+    if wide_ids:
+        return (jnp.where(live, out[nk], PAD_ID),
+                jnp.where(live, out[nk + 1] >> jnp.uint32(2), 0))
+    return (jnp.where(live, out[nk] >> jnp.uint32(dim + 1), PAD_ID),
+            jnp.where(live, (out[nk] >> jnp.uint32(1))
+                      & jnp.uint32((1 << dim) - 1), 0))
+
+
 @functools.partial(jax.jit, static_argnums=(0, 6, 7, 8, 9, 10))
 def update(spec: IndexSpec, tracked: TrackedScene,
            system_min, system_max, bounds_min, bounds_max,
@@ -253,30 +370,10 @@ def update(spec: IndexSpec, tracked: TrackedScene,
               < _PACK_ID_BOUND) if n else jnp.bool_(True)
     pack_ovf = jnp.bool_(False) if wide_ids else ~narrow
 
-    def _pack(ids2, aux2, tag):
-        """(id, aux, tag) -> one u32, monotone in (id, aux, tag)."""
-        return ((ids2 << jnp.uint32(dim + 1)) | (aux2 << jnp.uint32(1))
-                | jnp.uint32(tag))
-
-    def _stream(k_rows, v_rows, tag):
-        """One side's (key cols + meta cols) flat stream + keep mask."""
-        kc = tuple(c.reshape(OC * S) for c in k_rows)
-        keep = v_rows.reshape(OC * S)
-        ids2 = jnp.broadcast_to(ids_rows[:, None], (OC, S)).reshape(OC * S)
-        aux2 = jnp.broadcast_to(aux_row[None, :], (OC, S)).reshape(OC * S)
-        if wide_ids:
-            # build drops aux to zeros for wide ids (layer._sort_now:
-            # emit-once degrades to keep-all), so parity requires the
-            # same here; the meta column carries only the tag
-            meta = (ids2, jnp.full_like(ids2, jnp.uint32(tag)))
-        else:
-            meta = (_pack(ids2, aux2, tag),)
-        ones = jnp.uint32(0xFFFF_FFFF)
-        cols = tuple(jnp.where(keep, c, ones) for c in kc + meta)
-        return cols, keep
-
-    t_cols, t_keep = _stream(old_k_rows, old_v_rows, 1)   # tombstones
-    i_cols, i_keep = _stream(new_k_rows, new_v_rows, 0)   # inserts
+    t_cols, t_keep = _churn_stream(spec, ids_rows, aux_row, old_k_rows,
+                                   old_v_rows, 1, wide_ids)  # tombstones
+    i_cols, i_keep = _churn_stream(spec, ids_rows, aux_row, new_k_rows,
+                                   new_v_rows, 0, wide_ids)  # inserts
     if _stage == "extract":        # profiler prefix
         return (tomb_cnt, t_cols[0][::64].sum(), i_cols[0][::64].sum(),
                 jnp.sum(t_keep), jnp.sum(i_keep))
@@ -299,89 +396,15 @@ def update(spec: IndexSpec, tracked: TrackedScene,
     if _stage == "churn":          # profiler prefix
         return tuple(c[::64].sum() for c in churn)
 
-    # merge into the previous sorted tree (tag 0).  Tree meta mirrors the
-    # churn packing; pads stay all-ones in every column.
-    kc = bidx.sort_operands(spec, state.keys)
-    t_live = state.ids != PAD_ID
-    ones = jnp.uint32(0xFFFF_FFFF)
-    if wide_ids:
-        tree_meta = (state.ids, jnp.where(t_live, jnp.uint32(0), ones))
-    else:
-        tree_meta = (jnp.where(t_live, _pack(state.ids, state.aux, 0),
-                               ones),)
-    tree_cols = kc + tree_meta
-    # kernel viability: the fused Pallas merge streams the tree ONCE with
-    # per-tile churn windows; it fits when the average window (2.5x
-    # headroom) is within a tile.  Whole-tree churn (tests, degenerate
-    # scenes) exceeds any window — use the global XLA formulation there.
-    from .ops.pallas_merge import LANES as _L, TILE_ROWS as _TR
-    _TL = _TR * _L
-    capN = -(-cap // _TL) * _TL
-    wr_needed = -(-5 * 2 * C * _TL // (2 * max(capN, 1) * _L))
-    # the sublane-aligned window buffer must fit the tile: wr + 8 <= TR
-    use_kernel = _use_pallas_expand() and wr_needed <= _TR - 8
+    tree_cols = _tree_merge_cols(spec, state, wide_ids)
+    out, new_count, merge_ovf, _fused = _merge_churn(
+        spec, tree_cols, churn, jnp.minimum(_ccnt, 2 * C), cap, C,
+        wide_ids)
+    if _stage == "merge":          # profiler prefix (on the kernel path
+        # the merge is fused with cancel+compact, so merge ~= full)
+        return tuple(c[::4096].sum() for c in out)
 
-    if use_kernel:
-        # fused windowed merge + cancel + compaction: one streaming pass
-        # (ops/pallas_merge.py) instead of three full-tree XLA passes
-        from .ops.pallas_merge import merge_cancel_compact
-        churn_live = jnp.minimum(_ccnt, 2 * C)
-        out, new_count, merge_ovf = merge_cancel_compact(
-            tree_cols, churn, churn_live, cap,
-            window_rows=int(max(8, wr_needed)),
-            interpret=jax.default_backend() != "tpu")
-        if _stage == "merge":      # profiler prefix (fused: == full here)
-            return tuple(c[::4096].sum() for c in out)
-    else:
-        merge_ovf = jnp.bool_(False)
-        merged = bitonic_merge(tree_cols, churn,
-                               num_keys=nk + len(tree_meta))
-        if _stage == "merge":      # profiler prefix
-            return tuple(c[::4096].sum() for c in merged)
-
-        m_key = bidx.key_from_columns(spec, merged[:nk])
-        if wide_ids:
-            m_ids = merged[nk]
-            m_tag = merged[nk + 1] & jnp.uint32(3)
-        else:
-            packed = merged[nk]
-            m_ids = packed >> jnp.uint32(dim + 1)
-            m_tag = packed & jnp.uint32(1)
-
-        # cancel: a tree entry directly followed by its tombstone dies
-        # with it (adjacent access via shifts — a gather over the merged
-        # lanes would cost ~10 ns/elem; these are pure vector passes).
-        # The packing guarantees adjacency: tree entry and its tombstone
-        # differ only in the lowest tag bit, so nothing sorts between
-        # them.
-        def _shift1(c):
-            return jnp.concatenate([c[1:], c[:1]])
-        nxt_key = bidx.key_from_columns(
-            spec, tuple(_shift1(c) for c in merged[:nk]))
-        same = bidx.key_eq(spec, m_key, nxt_key) \
-            & (m_ids == _shift1(m_ids))
-        # pad lanes (all-ones keys — never a live cell: the depth field
-        # of an all-ones key exceeds clamp_depth in every spec) are dead
-        # weight the compaction drops and the fill re-pads
-        pad_mask = bidx.key_eq(spec, m_key, spec.pad_key(m_ids.shape))
-        is_tomb = m_tag == 1
-        dead = (same & (_shift1(is_tomb))) | is_tomb | pad_mask
-        keep = ~dead
-
-        new_count = jnp.sum(keep.astype(jnp.int32))
-        out, _ = _compact(keep, merged, (0xFFFF_FFFF,) * len(merged))
-        out = tuple(c[:cap] for c in out)
-
-    lane = jnp.arange(cap, dtype=jnp.int32)
-    live = lane < jnp.minimum(new_count, cap)
-    if wide_ids:
-        o_ids = jnp.where(live, out[nk], PAD_ID)
-        o_aux = jnp.where(live, out[nk + 1] >> jnp.uint32(2), 0)
-    else:
-        o_ids = jnp.where(live, out[nk] >> jnp.uint32(dim + 1), PAD_ID)
-        o_aux = jnp.where(live,
-                          (out[nk] >> jnp.uint32(1))
-                          & jnp.uint32((1 << dim) - 1), 0)
+    o_ids, o_aux = _unpack_meta(spec, out, cap, new_count, wide_ids)
 
     overflow = (state.overflow | cell_ovf | churn_ovf | pack_ovf
                 | merge_ovf | (new_count > cap))
