@@ -77,6 +77,8 @@ _QUICK_TESTS = {
     "test_ray_tree_matches_linear",             # sublinear ray engine
     "test_generic_monotone_box_matches_test_box",  # generic traversal
     "test_update_matches_build",                # temporal-coherence path
+    "test_sharded_layer_scan_matches_oracle",   # persistent sharded layer
+    "test_sharded_update_matches_sharded_build",  # sharded update
 }
 
 
