@@ -957,7 +957,9 @@ def scan_pairs(spec: IndexSpec, keys: Key, ids: jnp.ndarray,
         # gather row loop past the Mosaic compile cliff (cap 64).  Read at
         # trace time: set before the first scan of a process (sweeps run
         # one value per process; the jit cache ignores later changes).
-        idw = int(os.environ.get("BROADPHASE_IDW_ROWS", "32"))
+        # default retuned r5: back-to-back 1M full-step sweep measured
+        # 55.6 ms at 16 rows vs 56.8 at 32 and 57.9 at 8
+        idw = int(os.environ.get("BROADPHASE_IDW_ROWS", "16"))
         if idw < 8 or idw % 8 or idw > 64:
             raise ValueError(
                 f"BROADPHASE_IDW_ROWS={idw}: must be a multiple of 8 in "
