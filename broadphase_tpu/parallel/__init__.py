@@ -15,6 +15,7 @@ from .scan import (  # noqa: F401
 from .layer import (  # noqa: F401
     ShardedLayer,
     make_build_sharded,
+    make_merge_sharded,
     make_queries_sharded,
     make_scan_sharded,
 )

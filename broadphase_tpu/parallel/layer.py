@@ -168,6 +168,72 @@ def make_scan_sharded(spec: IndexSpec, mesh: Mesh, axis_name: str,
     return scan
 
 
+def make_merge_sharded(spec: IndexSpec, mesh: Mesh, axis_name: str,
+                       *, fragment_capacity: Optional[int] = None):
+    """Jitted ``fn(a: ShardedLayer, b: ShardedLayer) -> ShardedLayer`` —
+    the multi-chip ``Layer::merge`` (reference ``src/layer.rs:127-138``;
+    under the parallel feature its re-sort is ``par_sort``, ``:146-165``).
+
+    Key ownership is a pure function of the key and the device count
+    (``_make_bucket_of``), so two layers built on the SAME mesh axis hold,
+    on each device, fragments covering the SAME global key range — the
+    merge needs **no collectives**: one local bitonic merge per device
+    (``ops/merge.py``), exactly the single-chip sorted x sorted fast path
+    (``layer._merge_jit``), plus one psum for the overflow flag.  The
+    merged fragments concatenated in device order equal the single-chip
+    ``merge``-then-``sort`` tree bit for bit.
+
+    ``fragment_capacity`` is the per-device output buffer; the default
+    (sum of the input fragment capacities) can never overflow.  If the two
+    layers share ids, one id can occupy NESTED cells in the merged tree —
+    scan it with ``nested_ids=True`` (same invariant as the single-chip
+    merge)."""
+    n_dev = mesh.shape[axis_name]
+    nk = spec.bits // 32
+    del n_dev  # ownership congruence needs only that the meshes match
+
+    def _device_fn(kca, ids_a, aux_a, counts_a, kcb, ids_b, aux_b,
+                   counts_b):
+        from ..ops.merge import bitonic_merge
+        out_cap = (ids_a.shape[0] + ids_b.shape[0]
+                   if fragment_capacity is None else int(fragment_capacity))
+        out = bitonic_merge(tuple(kca) + (ids_a, aux_a),
+                            tuple(kcb) + (ids_b, aux_b),
+                            num_keys=nk + 1)
+        out = tuple(c[:out_cap] for c in out)
+        ids_m = out[nk]
+        # the merger's power-of-two padding is all-ones in every column;
+        # restore the layer convention of zero aux on pad entries
+        aux_m = jnp.where(ids_m == PAD_ID, jnp.uint32(0), out[nk + 1])
+        cnt = counts_a[0] + counts_b[0]
+        local_ovf = cnt > out_cap
+        any_ovf = jax.lax.psum(local_ovf.astype(jnp.int32), axis_name) > 0
+        return out[:nk] + (ids_m, aux_m,
+                           jnp.minimum(cnt, out_cap).reshape(1), any_ovf)
+
+    sharded = jax.shard_map(
+        _device_fn, mesh=mesh,
+        in_specs=(tuple([P(axis_name)] * nk), P(axis_name), P(axis_name),
+                  P(axis_name)) * 2,
+        out_specs=tuple([P(axis_name)] * (nk + 3)) + (P(),),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def merge(a: ShardedLayer, b: ShardedLayer) -> ShardedLayer:
+        out = sharded(bidx.sort_operands(spec, a.keys), a.ids, a.aux,
+                      a.counts,
+                      bidx.sort_operands(spec, b.keys), b.ids, b.aux,
+                      b.counts)
+        return ShardedLayer(
+            keys=bidx.key_from_columns(spec, out[:nk]),
+            ids=out[nk], aux=out[nk + 1], counts=out[nk + 2],
+            invalid_count=a.invalid_count + b.invalid_count,
+            overflow=out[nk + 3] | a.overflow | b.overflow)
+
+    return merge
+
+
 def make_queries_sharded(spec: IndexSpec, mesh: Mesh, axis_name: str,
                          *, min_depth: int = 0, result_cap: int = 4096,
                          chunk: int = 64):

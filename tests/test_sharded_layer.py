@@ -17,6 +17,7 @@ from broadphase_tpu import Index32_2D, Index64_3D, layer, query
 from broadphase_tpu.layer import PAD_ID
 from broadphase_tpu.parallel import (ShardedLayer, gather_pairs,
                                      make_build_sharded,
+                                     make_merge_sharded,
                                      make_queries_sharded,
                                      make_scan_sharded,
                                      min_depth_for_devices)
@@ -183,6 +184,124 @@ def test_sharded_queries_match_single_chip(spec):
                                   np.asarray(want.distance))
     np.testing.assert_array_equal(np.asarray(got.found),
                                   np.asarray(want.found))
+
+
+def _global_tree(spec, lyr):
+    """Concat live fragment prefixes in device order (= the global tree)."""
+    from broadphase_tpu import index as bidx
+    frag = np.asarray(lyr.ids).size // N_DEV
+    keys_np = bidx.keys_to_numpy(spec, lyr.keys).reshape(N_DEV, frag)
+    ids_np = np.asarray(lyr.ids).reshape(N_DEV, frag)
+    aux_np = np.asarray(lyr.aux).reshape(N_DEV, frag)
+    counts = np.asarray(lyr.counts)
+    gk = np.concatenate([keys_np[d, :counts[d]] for d in range(N_DEV)])
+    gi = np.concatenate([ids_np[d, :counts[d]] for d in range(N_DEV)])
+    ga = np.concatenate([aux_np[d, :counts[d]] for d in range(N_DEV)])
+    return gk, gi, ga
+
+
+@pytest.mark.parametrize("spec", [Index64_3D, Index32_2D],
+                         ids=lambda s: s.name)
+def test_sharded_merge_matches_single_chip(spec):
+    """Merging two sharded layers (collective-free local bitonic merges)
+    equals the single-chip merge-then-sort tree bit for bit."""
+    n = 24 * N_DEV
+    smin, smax, bmin, bmax, ids, rng = _scene(spec, n, seed=29)
+    # second, disjoint-id scene in the same system bounds
+    size2 = rng.uniform(0.5, 9.0, size=(n, spec.dim)).astype(np.float32)
+    bmin2 = rng.uniform(-60.0, 51.0, size=(n, spec.dim)).astype(np.float32)
+    bmax2 = bmin2 + size2
+    ids2 = np.arange(n, 2 * n, dtype=np.uint32)
+
+    mesh = _mesh()
+    md = min_depth_for_devices(spec, N_DEV)
+    build = make_build_sharded(spec, mesh, "objects",
+                               fragment_capacity=8 * n)
+    merge = make_merge_sharded(spec, mesh, "objects")
+    a = build(smin, smax, bmin, bmax, ids)
+    b = build(smin, smax, bmin2, bmax2, ids2)
+    m = merge(a, b)
+    assert not bool(m.overflow)
+    assert np.asarray(m.counts).sum() == \
+        np.asarray(a.counts).sum() + np.asarray(b.counts).sum()
+
+    # single-chip reference: merge into an empty WIDE layer first (build's
+    # capacity is clamped to n * slots, too small for the merged tree)
+    sa = _single_chip_state(spec, smin, smax, bmin, bmax, ids, md)
+    sb = _single_chip_state(spec, smin, smax, bmin2, bmax2, ids2, md)
+    wide = layer.make_layer(spec, 4 * 8 * n, md)
+    want = layer.sort(spec, layer.merge(spec, layer.merge(spec, wide, sa),
+                                        sb))
+    assert not bool(want.overflow)
+    wk, wi, wc = layer.tree_to_numpy(spec, want)
+
+    gk, gi, ga = _global_tree(spec, m)
+    assert len(gk) == wc
+    np.testing.assert_array_equal(gk, wk)
+    np.testing.assert_array_equal(gi, wi)
+    np.testing.assert_array_equal(ga, np.asarray(want.aux)[:wc])
+
+    # the merged layer is a live ShardedLayer: scan it and check the
+    # pair set against the single-chip scan of the merged tree
+    scan = make_scan_sharded(spec, mesh, "objects", pair_capacity=32 * n)
+    res = scan(m)
+    assert not bool(res.overflow)
+    _, wres = layer.scan(spec, want, 32 * n * N_DEV)
+    assert not bool(wres.overflow)
+    assert gather_pairs(res) == layer.scan_result_to_numpy(wres)
+
+
+@pytest.mark.parametrize("spec", [Index64_3D], ids=lambda s: s.name)
+def test_sharded_merge_shared_ids_nested_scan(spec):
+    """Merging layers that SHARE ids creates nested same-id cells; the
+    nested_ids sharded scan of the merged layer must match the single-chip
+    nested_ids scan (the id-on-stack skip across the merge)."""
+    n = 16 * N_DEV
+    smin, smax, bmin, bmax, ids, _ = _scene(spec, n, seed=31)
+    big = 2.5
+    bmin2 = np.clip(bmin - big, smin + 0.5, None).astype(np.float32)
+    bmax2 = np.clip(bmax + big, None, smax - 0.5).astype(np.float32)
+
+    mesh = _mesh()
+    md = min_depth_for_devices(spec, N_DEV)
+    build = make_build_sharded(spec, mesh, "objects",
+                               fragment_capacity=8 * n)
+    merge = make_merge_sharded(spec, mesh, "objects")
+    m = merge(build(smin, smax, bmin, bmax, ids),
+              build(smin, smax, bmin2, bmax2, ids))
+    assert not bool(m.overflow)
+
+    scan = make_scan_sharded(spec, mesh, "objects",
+                             pair_capacity=64 * n, nested_ids=True)
+    res = scan(m)
+    assert not bool(res.overflow)
+
+    sa = _single_chip_state(spec, smin, smax, bmin, bmax, ids, md)
+    sb = _single_chip_state(spec, smin, smax, bmin2, bmax2, ids, md)
+    wide = layer.make_layer(spec, 4 * 8 * n, md)
+    want = layer.sort(spec, layer.merge(spec, layer.merge(spec, wide, sa),
+                                        sb))
+    assert not bool(want.overflow)
+    _, wres = layer.scan(spec, want, 64 * n * N_DEV, nested_ids=True)
+    assert not bool(wres.overflow)
+    assert gather_pairs(res) == layer.scan_result_to_numpy(wres)
+
+
+@pytest.mark.parametrize("spec", [Index64_3D], ids=lambda s: s.name)
+def test_sharded_merge_fragment_overflow_flagged(spec):
+    """A fragment_capacity smaller than a merged fragment must flag, never
+    silently truncate."""
+    n = 16 * N_DEV
+    smin, smax, bmin, bmax, ids, _ = _scene(spec, n, seed=37)
+    mesh = _mesh()
+    build = make_build_sharded(spec, mesh, "objects",
+                               fragment_capacity=8 * n)
+    a = build(smin, smax, bmin, bmax, ids)
+    # 2 lanes per device cannot hold any real fragment pair
+    merge = make_merge_sharded(spec, mesh, "objects", fragment_capacity=2)
+    m = merge(a, a)
+    assert bool(m.overflow)
+    assert np.asarray(m.counts).max() <= 2
 
 
 @pytest.mark.parametrize("spec", [Index64_3D], ids=lambda s: s.name)
