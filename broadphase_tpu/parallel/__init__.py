@@ -14,10 +14,12 @@ from .scan import (  # noqa: F401
 )
 from .layer import (  # noqa: F401
     ShardedLayer,
+    gather_layer,
     make_build_sharded,
     make_merge_sharded,
     make_queries_sharded,
     make_scan_sharded,
+    shard_layer,
 )
 from .update import (  # noqa: F401
     ShardedTracked,

@@ -168,6 +168,103 @@ def make_scan_sharded(spec: IndexSpec, mesh: Mesh, axis_name: str,
     return scan
 
 
+def gather_layer(spec: IndexSpec, lyr: ShardedLayer, *, min_depth: int = 0,
+                 capacity: Optional[int] = None) -> LayerState:
+    """Host-side: concatenate the live fragment prefixes in device order
+    (fragment order IS global Morton order) into one single-chip
+    :class:`LayerState` — the checkpoint bridge: the result round-trips
+    through BR_SCENE via ``layer.layer_to_scene_layer`` like any other
+    layer.  Eager (pulls the fragments to host); not for the hot path."""
+    import numpy as np
+
+    n_dev = int(lyr.counts.shape[0])
+    frag = np.asarray(lyr.ids).size // n_dev
+    keys_np = bidx.keys_to_numpy(spec, lyr.keys).reshape(n_dev, frag)
+    ids_np = np.asarray(lyr.ids).reshape(n_dev, frag)
+    aux_np = np.asarray(lyr.aux).reshape(n_dev, frag)
+    counts = np.asarray(lyr.counts)
+    gk = np.concatenate([keys_np[d, :counts[d]] for d in range(n_dev)])
+    gi = np.concatenate([ids_np[d, :counts[d]] for d in range(n_dev)])
+    ga = np.concatenate([aux_np[d, :counts[d]] for d in range(n_dev)])
+    cap = int(capacity) if capacity is not None else n_dev * frag
+    if cap < len(gk):
+        raise ValueError(f"capacity {cap} < live entries {len(gk)}")
+    pad_key = bidx.keys_to_numpy(spec, spec.pad_key(()))
+    gk = np.concatenate([gk, np.full(cap - len(gk), pad_key, gk.dtype)])
+    gi = np.concatenate([gi, np.full(cap - len(gi), PAD_ID, np.uint32)])
+    ga = np.concatenate([ga, np.zeros(cap - len(ga), np.uint32)])
+    return LayerState(
+        keys=bidx.keys_from_numpy(spec, gk), ids=jnp.asarray(gi),
+        aux=jnp.asarray(ga), count=jnp.int32(counts.sum()),
+        sorted=jnp.bool_(True), min_depth=jnp.uint32(min_depth),
+        invalid_count=jnp.asarray(lyr.invalid_count, jnp.int32),
+        overflow=jnp.asarray(lyr.overflow, jnp.bool_))
+
+
+def shard_layer(spec: IndexSpec, state: LayerState, n_dev: int,
+                *, fragment_capacity: int) -> ShardedLayer:
+    """Host-side: partition a (sorted) single-chip layer into per-device
+    fragments under the mesh ownership rule (top ``ceil(log2 n_dev)``
+    significant key bits — ``_make_bucket_of``), the restore direction of
+    :func:`gather_layer`: load a BR_SCENE checkpoint with
+    ``layer.layer_from_scene_layer`` and place it on a mesh without
+    rebuilding.  Raises if any fragment exceeds ``fragment_capacity``
+    (host-side, so overflow is loud rather than flagged).
+
+    The layer must have been built with ``min_depth >=
+    min_depth_for_devices(spec, n_dev)`` for *scans* of the result to be
+    exact (the fragment-cut rule, SURVEY.md §3.3); a smaller value only
+    logs a warning since gather/query use is still correct."""
+    import numpy as np
+
+    from ..layer import sort as sort_layer
+
+    state = sort_layer(spec, state)
+    cnt = int(state.count)
+    keys_np = bidx.keys_to_numpy(spec, state.keys)[:cnt]
+    ids_np = np.asarray(state.ids)[:cnt]
+    aux_np = np.asarray(state.aux)[:cnt]
+
+    md_need = min_depth_for_devices(spec, n_dev)
+    if int(state.min_depth) < md_need:
+        import logging
+        logging.getLogger("broadphase_tpu").warning(
+            "shard_layer: layer min_depth %d < min_depth_for_devices %d; "
+            "scans of the sharded layer may split pairs across fragments",
+            int(state.min_depth), md_need)
+
+    B = (n_dev - 1).bit_length() if n_dev > 1 else 0
+    if B == 0:
+        bucket = np.zeros(cnt, np.int64)
+    else:
+        wide = keys_np.astype(np.uint64)
+        bucket = np.minimum(wide >> np.uint64(spec.key_bits - B),
+                            n_dev - 1).astype(np.int64)
+    counts = np.bincount(bucket, minlength=n_dev).astype(np.int32)
+    fcap = int(fragment_capacity)
+    if counts.max(initial=0) > fcap:
+        raise ValueError(
+            f"fragment_capacity {fcap} < largest fragment "
+            f"{int(counts.max())} (counts per device: {counts.tolist()})")
+    pad_key = bidx.keys_to_numpy(spec, spec.pad_key(()))
+    fk = np.full((n_dev, fcap), pad_key, keys_np.dtype)
+    fi = np.full((n_dev, fcap), PAD_ID, np.uint32)
+    fa = np.zeros((n_dev, fcap), np.uint32)
+    off = 0
+    for d in range(n_dev):
+        c = int(counts[d])
+        fk[d, :c] = keys_np[off:off + c]
+        fi[d, :c] = ids_np[off:off + c]
+        fa[d, :c] = aux_np[off:off + c]
+        off += c
+    return ShardedLayer(
+        keys=bidx.keys_from_numpy(spec, fk.reshape(-1)),
+        ids=jnp.asarray(fi.reshape(-1)), aux=jnp.asarray(fa.reshape(-1)),
+        counts=jnp.asarray(counts),
+        invalid_count=jnp.asarray(state.invalid_count, jnp.int32),
+        overflow=jnp.asarray(state.overflow, jnp.bool_))
+
+
 def make_merge_sharded(spec: IndexSpec, mesh: Mesh, axis_name: str,
                        *, fragment_capacity: Optional[int] = None):
     """Jitted ``fn(a: ShardedLayer, b: ShardedLayer) -> ShardedLayer`` —

@@ -287,6 +287,53 @@ def test_sharded_merge_shared_ids_nested_scan(spec):
     assert gather_pairs(res) == layer.scan_result_to_numpy(wres)
 
 
+@pytest.mark.parametrize("spec", [Index64_3D, Index32_2D],
+                         ids=lambda s: s.name)
+def test_gather_shard_layer_round_trip(spec):
+    """Checkpoint bridge: sharded build -> gather_layer == single-chip
+    build; shard_layer(single-chip) -> sharded scan == oracle; the two
+    directions invert each other."""
+    from broadphase_tpu.parallel import gather_layer, shard_layer
+
+    n = 24 * N_DEV
+    smin, smax, bmin, bmax, ids, _ = _scene(spec, n, seed=41)
+    mesh = _mesh()
+    md = min_depth_for_devices(spec, N_DEV)
+    build = make_build_sharded(spec, mesh, "objects",
+                               fragment_capacity=8 * n)
+    lyr = build(smin, smax, bmin, bmax, ids)
+
+    # gather: equals the single-chip build, and is scannable as-is
+    st = gather_layer(spec, lyr, min_depth=md)
+    want = _single_chip_state(spec, smin, smax, bmin, bmax, ids, md)
+    gk, gi, gc = layer.tree_to_numpy(spec, st)
+    wk, wi, wc = layer.tree_to_numpy(spec, want)
+    assert gc == wc
+    np.testing.assert_array_equal(gk, wk)
+    np.testing.assert_array_equal(gi, wi)
+    np.testing.assert_array_equal(np.asarray(st.aux)[:gc],
+                                  np.asarray(want.aux)[:wc])
+
+    # shard: the restore direction — fragments equal the original build's
+    back = shard_layer(spec, st, N_DEV, fragment_capacity=8 * n)
+    np.testing.assert_array_equal(np.asarray(back.counts),
+                                  np.asarray(lyr.counts))
+    bk, bi, ba = _global_tree(spec, back)
+    ok, oi, oa = _global_tree(spec, lyr)
+    np.testing.assert_array_equal(bk, ok)
+    np.testing.assert_array_equal(bi, oi)
+    np.testing.assert_array_equal(ba, oa)
+
+    # and the restored sharded layer scans identically
+    scan = make_scan_sharded(spec, mesh, "objects", pair_capacity=16 * n)
+    _, wres = layer.scan(spec, want, 16 * n * N_DEV)
+    assert gather_pairs(scan(back)) == layer.scan_result_to_numpy(wres)
+
+    # fragment overflow is loud
+    with pytest.raises(ValueError):
+        shard_layer(spec, st, N_DEV, fragment_capacity=2)
+
+
 @pytest.mark.parametrize("spec", [Index64_3D], ids=lambda s: s.name)
 def test_sharded_merge_fragment_overflow_flagged(spec):
     """A fragment_capacity smaller than a merged fragment must flag, never
