@@ -79,6 +79,8 @@ _QUICK_TESTS = {
     "test_update_matches_build",                # temporal-coherence path
     "test_sharded_layer_scan_matches_oracle",   # persistent sharded layer
     "test_sharded_update_matches_sharded_build",  # sharded update
+    "test_sharded_merge_matches_single_chip",   # collective-free merge
+    "test_gather_shard_layer_round_trip",       # checkpoint bridge
 }
 
 
