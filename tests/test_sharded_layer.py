@@ -335,6 +335,43 @@ def test_gather_shard_layer_round_trip(spec):
 
 
 @pytest.mark.parametrize("spec", [Index64_3D], ids=lambda s: s.name)
+def test_sharded_merge_mixed_fragment_capacities(spec):
+    """Layers with different per-device buffer sizes (e.g. a big static
+    tree + a small dynamic one) merge correctly; result capacity defaults
+    to the sum of the two."""
+    n = 16 * N_DEV
+    m_small = 8 * N_DEV
+    smin, smax, bmin, bmax, ids, rng = _scene(spec, n, seed=43)
+    sb_min = rng.uniform(-60.0, 51.0, (m_small, spec.dim)).astype(
+        np.float32)
+    sb_max = sb_min + rng.uniform(0.5, 6.0, (m_small, spec.dim)).astype(
+        np.float32)
+    sids = np.arange(n, n + m_small, dtype=np.uint32)
+
+    mesh = _mesh()
+    big = make_build_sharded(spec, mesh, "objects",
+                             fragment_capacity=8 * n)
+    small = make_build_sharded(spec, mesh, "objects",
+                               fragment_capacity=8 * m_small)
+    merge = make_merge_sharded(spec, mesh, "objects")
+    m = merge(big(smin, smax, bmin, bmax, ids),
+              small(smin, smax, sb_min, sb_max, sids))
+    assert not bool(m.overflow)
+    assert np.asarray(m.ids).size // N_DEV == 8 * n + 8 * m_small
+
+    md = min_depth_for_devices(spec, N_DEV)
+    union = _single_chip_state(
+        spec, smin, smax,
+        np.concatenate([bmin, sb_min]), np.concatenate([bmax, sb_max]),
+        np.concatenate([ids, sids]), md)
+    wk, wi, wc = layer.tree_to_numpy(spec, union)
+    gk, gi, _ = _global_tree(spec, m)
+    assert len(gk) == wc
+    np.testing.assert_array_equal(gk, wk)
+    np.testing.assert_array_equal(gi, wi)
+
+
+@pytest.mark.parametrize("spec", [Index64_3D], ids=lambda s: s.name)
 def test_sharded_merge_fragment_overflow_flagged(spec):
     """A fragment_capacity smaller than a merged fragment must flag, never
     silently truncate."""
