@@ -137,6 +137,32 @@ def test_sharded_layer_scan_nested_ids(spec):
     assert got == layer.scan_result_to_numpy(want)
 
 
+@pytest.mark.parametrize("spec", [Index64_3D], ids=lambda s: s.name)
+def test_sharded_scan_filtered_matches_single_chip(spec):
+    """make_scan_sharded(filter_fn=...) must equal the single-chip
+    scan_filtered pair set (the filter runs per-shard before the dedup
+    exchange, same scan_pairs core)."""
+    n = 24 * N_DEV
+    smin, smax, bmin, bmax, ids, _ = _scene(spec, n, seed=47)
+    mesh = _mesh()
+    md = min_depth_for_devices(spec, N_DEV)
+
+    def filt(a, b):
+        return (a + b) % 3 == 0
+
+    build = make_build_sharded(spec, mesh, "objects",
+                               fragment_capacity=8 * n)
+    scan = make_scan_sharded(spec, mesh, "objects", pair_capacity=16 * n,
+                             filter_fn=filt)
+    res = scan(build(smin, smax, bmin, bmax, ids))
+    assert not bool(res.overflow)
+
+    st = _single_chip_state(spec, smin, smax, bmin, bmax, ids, md)
+    _, want = layer.scan_filtered(spec, st, 16 * n * N_DEV, filt)
+    assert not bool(want.overflow)
+    assert gather_pairs(res) == layer.scan_result_to_numpy(want)
+
+
 @pytest.mark.parametrize("spec", [Index64_3D, Index32_2D],
                          ids=lambda s: s.name)
 def test_sharded_queries_match_single_chip(spec):
